@@ -1,0 +1,44 @@
+"""Registry of driver-facing queries and their DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here via
+the :func:`query` decorator; the driver runs the Spark callable and the
+oracle SQL side-by-side at sf=0.01 and hash-compares the results.
+
+Conventions (driver compare is column-name + value-hash based):
+- alias every computed column identically in Spark and SQL;
+- round floating scores to 6 decimals on BOTH sides;
+- deterministic ORDER BY tie-breakers on unique keys for any LIMIT query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+#: name of the flagship query run by ``entry()``
+FLAGSHIP = "knn_topk"
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a driver query; ``oracle`` is DuckDB SQL over the
+    pre-registered views (region nation customer supplier part orders
+    lineitem events documents embeddings), or None for ops that are not
+    SQL-expressible (driver then records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for side effects: each module registers its queries.
+from grafeo_memory_spark.queries import vector_q  # noqa: E402,F401

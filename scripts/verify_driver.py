@@ -1,0 +1,51 @@
+"""Simulate the driver's verify: smoke entry(), oracle-compare queries() at sf0.01."""
+import math, sys, traceback
+sys.path.insert(0, "/root/repo")
+import duckdb
+from grafeo_memory_spark.session import get_spark
+import __spark_entry__ as E
+
+spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
+
+# t1 smoke
+df = E.entry(spark)
+n = df.count()
+print(f"SMOKE entry(): {n} rows, schema={df.schema.simpleString()}")
+assert n >= 0
+
+# t2 correctness at sf0.01
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def c(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 6)
+        return v
+    return sorted(cols), sorted([tuple(c(r[i]) for i in order) for r in rows], key=repr)
+
+qs, os_ = E.queries(), E.oracle_sql()
+fails = 0
+for name, fn in qs.items():
+    try:
+        sdf = fn(spark, SF)
+        scols, srows = norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        if name not in os_:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows")
+            continue
+        rel = con.sql(os_[name])
+        dcols, drows = norm(rel.columns, rel.fetchall())
+        ok = scols == dcols and srows == drows
+        print(f"{'MATCH' if ok else 'MISMATCH'} {name}: spark={len(srows)} duck={len(drows)} cols={'ok' if scols==dcols else (scols,dcols)}")
+        if not ok:
+            fails += 1
+            for a, b in list(zip(srows, drows))[:3]:
+                if a != b: print("   spark:", a, "\n   duck :", b)
+    except Exception:
+        fails += 1
+        print(f"ERROR {name}"); traceback.print_exc()
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)

@@ -1,0 +1,64 @@
+"""Shared fixtures: one SparkSession per test run, and a DuckDB oracle
+comparator mirroring the driver's correctness gate (row-count + schema
+column names + order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from grafeo_memory_spark.session import get_spark
+from grafeo_memory_spark.sources.tables import DRIVER_TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="grafeo-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql):
+    """Driver-style compare: same column names, same multiset of values."""
+    s_cols = sorted(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = duck_con.sql(sql)
+    d_cols = sorted(rel.columns)
+    d_rows = rel.fetchall()
+    assert s_cols == d_cols, f"schema mismatch: {s_cols} vs {d_cols}"
+    sc, sr = _norm_rows(spark_df.columns, s_rows)
+    dc, dr = _norm_rows(rel.columns, d_rows)
+    assert len(sr) == len(dr), f"row count {len(sr)} vs {len(dr)}"
+    assert sr == dr, (
+        f"value mismatch; first spark={sr[:3]} duck={dr[:3]}"
+    )
