@@ -1,0 +1,76 @@
+"""Window / ranking operators (SURVEY.md §2.5).
+
+Top-k without a group compiles to TakeOrderedAndProject (per-partition
+heap, no shuffle). Grouped variants shuffle once on the group key — at
+scale prefer pre-partitioned/bucketed input on that key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["top_k", "top_k_per_group", "latest_per_group", "drop_newest"]
+
+
+def top_k(
+    df: DataFrame, order: Sequence[Column], k: int
+) -> DataFrame:
+    """W1 — global top-k (`manager.py:695,792`). Pass a deterministic
+    tie-breaker as the last order column."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """W1 grouped — row_number ≤ k within each group."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def latest_per_group(
+    df: DataFrame, group: Sequence[str], ts_col: str = "created_at",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """W2 — argmax ts per group (session predecessor probe,
+    reference `manager.py:1191-1209`)."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    return top_k_per_group(df, group, order, 1)
+
+
+def drop_newest(
+    df: DataFrame, preserve_recent: int, ts_col: str = "created_at",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """W4 — consolidation slice: everything but the newest
+    ``preserve_recent`` rows, oldest first (reference
+    `manager.py:1816-1833,1857-1860`)."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > preserve_recent)
+        .drop("_rn")
+        .orderBy(F.col(ts_col).asc())
+    )
+
+
+def rrf_score(rank_col: Column, rrf_k: int = 1) -> Column:
+    """W5 — reciprocal-rank-fusion contribution `1/(rrf_k + rank)`
+    (reference `search/vector.py:123-132`, rrf_k=1)."""
+    return F.lit(1.0) / (F.lit(float(rrf_k)) + rank_col)

@@ -1,0 +1,418 @@
+"""Relational-core driver queries (SURVEY.md §2.2-2.7) over the TPC-H-ish
+driver tables, each with a DuckDB oracle.
+
+Mapping note: the reference's property-graph semantics are exercised here
+on the star schema — `orders` stands in for Memory nodes, `part` for
+Entity nodes and `lineitem` for HAS_ENTITY edges, `events` for the
+session/episode stream. The same operator implementations run over the
+native memory-graph tables in tests/ (FIXTURES.md §B).
+
+Timestamps are emitted as epoch **seconds** (`BIGINT`) on both sides to
+dodge engine-specific timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.operators.filters import (
+    compile_filters,
+    scope_filter,
+    time_range,
+    valid_at_point,
+)
+from grafeo_memory_spark.operators.windows import (
+    drop_newest,
+    latest_per_group,
+    top_k,
+    top_k_per_group,
+)
+from grafeo_memory_spark.queries import query
+from grafeo_memory_spark.sources.tables import load_table
+
+
+@query(
+    "scope_filter",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+    ORDER BY c_custkey
+    """,
+)
+def q_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — conjunctive equality scope filter (`manager.py:164-175`).
+    Both predicates push down to the Parquet scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.where(scope_filter(c_mktsegment="BUILDING", c_nationkey=5))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "operator_predicates",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size
+    FROM part
+    WHERE p_size >= 10 AND p_size < 40
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_type IS NOT NULL AND contains(p_type, 'O')
+      AND (p_retailprice IS NULL OR p_retailprice <> 0.0)
+      AND p_partkey NOT IN (1, 2, 3)
+    ORDER BY p_partkey
+    """,
+)
+def q_operator_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — Mongo-style `$op` predicate compiler
+    (`search/vector.py:351-381`): $gte/$lt/$in/$contains/$ne/$nin."""
+    part = load_table(spark, sf_dir, "part")
+    pred = compile_filters(
+        {
+            "p_size": {"$gte": 10, "$lt": 40},
+            "p_brand": {"$in": ["Brand#1", "Brand#2", "Brand#3"]},
+            "p_type": {"$contains": "O"},
+            "p_retailprice": {"$ne": 0.0},
+            "p_partkey": {"$nin": [1, 2, 3]},
+        }
+    )
+    return part.where(pred).select("p_partkey", "p_brand", "p_size").orderBy("p_partkey")
+
+
+@query(
+    "time_range_filter",
+    oracle="""
+    SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS order_epoch
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    ORDER BY o_orderkey
+    """,
+)
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — time-range filter (`manager.py:713-716`); min/max Parquet
+    pruning applies to the pushed-down range."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-12-31 23:59:59"))
+    return (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "point_in_time",
+    oracle="""
+    WITH bitemporal AS (
+      SELECT o_orderkey,
+             o_orderdate AS valid_at,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN o_orderdate + INTERVAL 90 DAY END AS invalid_at
+      FROM orders
+    )
+    SELECT o_orderkey
+    FROM bitemporal
+    WHERE valid_at IS NULL
+       OR (valid_at <= TIMESTAMP '1997-06-01'
+           AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '1997-06-01'))
+    ORDER BY o_orderkey
+    """,
+)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — bi-temporal point-in-time predicate (`manager.py:2031-2040`),
+    permissive on missing valid_at. valid/invalid intervals are derived
+    from order dates; native memories semantics are unit-tested."""
+    orders = load_table(spark, sf_dir, "orders")
+    bt = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_at"),
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        ).alias("invalid_at"),
+    )
+    pit = "1997-06-01"
+    v, iv = F.col("valid_at"), F.col("invalid_at")
+    cond = v.isNull() | (
+        (v <= F.to_timestamp(F.lit(pit))) & (iv.isNull() | (iv > F.to_timestamp(F.lit(pit))))
+    )
+    return bt.where(cond).select("o_orderkey").orderBy("o_orderkey")
+
+
+@query(
+    "topk_by_score",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS score
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — global top-k (`manager.py:792`); TakeOrderedAndProject,
+    no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("score")),
+        [F.col("score").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@query(
+    "latest_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS order_epoch
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def q_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — argmax created_at per group (session predecessor probe,
+    `manager.py:1191-1209`). One shuffle on the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        latest_per_group(orders, ["o_custkey"], "o_orderdate", tiebreak="o_orderkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "oldest_first_slice",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn > 5
+    ORDER BY o_orderkey
+    """,
+)
+def q_oldest_first_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — consolidation slice: all but the newest ``preserve_recent=5``
+    rows (`manager.py:1857-1860`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        drop_newest(orders, 5, "o_orderdate", tiebreak="o_orderkey")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-family pricing-summary rollup (TPC-H Q1 shape): partial
+    aggregation map-side, single shuffle on the tiny group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "group_by_session",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS first_us,
+           epoch_us(max(ts)) AS last_us,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — group-by-session rollup (`manager.py:1571-1583`), session key
+    = user_id on the events stream table.
+
+    ``ts`` arrives as epoch-nanosecond longs (see session.py nanosAsLong);
+    compared against DuckDB's epoch_ns() for exactness."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min(ts) div 1000").alias("first_us"),
+            F.expr("max(ts) div 1000").alias("last_us"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stats_rollup",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S11 — store-stats rollup (`_stats_impl`, `manager.py:1926-2014`):
+    counts by a type-ish column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "union_dedupe",
+    oracle="""
+    SELECT DISTINCT o_orderkey FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    ) ORDER BY o_orderkey
+    """,
+)
+def q_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union of two candidate streams + dedupe by id
+    (`manager.py:663-665`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "anti_join_missing",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/U3 — find-or-create's "find missing" half = left-anti join
+    (`_find_or_create_entity`, `manager.py:1685-1710`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_join_members",
+    oracle="""
+    SELECT DISTINCT c_custkey FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — set-membership check = left-semi join
+    (`manager.py:1604-1611`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — JSON-encoded property extraction (`metadata` parse,
+    `search/vector.py:422-433`), regex form shared with the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "session_predecessor",
+    oracle="""
+    SELECT event_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_event_id
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_session_predecessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13/T1 — session-chain predecessor: each event linked to the
+    session's latest prior event (`_link_session_chain`,
+    `manager.py:1182-1223`) — LEADS_TO edge derivation as a lag window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select("event_id", F.lag("event_id").over(w).alias("prev_event_id"))
+        .orderBy("event_id")
+    )
