@@ -27,6 +27,8 @@ __all__ = [
     "cosine_similarity",
     "cosine_to_query",
     "knn",
+    "knn_multi_probe",
+    "mmr_select",
     "similarity_to_distance",
 ]
 
@@ -110,3 +112,85 @@ def knn(
     cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
     scored = df.select(*cols, cosine_to_query(vec_col, query_vec).alias(sim_col))
     return scored.orderBy(F.col(sim_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_multi_probe(
+    df: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_vec_col: str = "qv",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """V4 — multi-probe reconciliation search (reference `search_similar`,
+    `search/vector.py:294-348`): for each probe vector run kNN(k), union,
+    dedupe keeping the best score, gate on the similarity threshold.
+
+    ``probes`` is a small DataFrame (one row per new-fact embedding) —
+    broadcast against the big table; per-probe top-k via one window over
+    the joined candidates, then max-sim dedupe. One shuffle on probe_id
+    for the window; candidates after `threshold` are tiny.
+    """
+    from pyspark.sql import Window
+
+    joined = df.crossJoin(F.broadcast(probes)).select(
+        F.col(id_col),
+        F.col(probe_id_col),
+        cosine_similarity(vec_col, probe_vec_col).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    topk = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        topk.where(F.col("sim") >= threshold)
+        .groupBy(id_col)
+        .agg(F.max("sim").alias("score"))
+    )
+
+
+def mmr_select(
+    candidates: list[tuple],
+    query_vec: Sequence[float],
+    k: int,
+    lambda_mult: float = 0.5,
+) -> list[tuple]:
+    """V3 — greedy maximal-marginal-relevance selection (reference
+    `mmr_search`, `search/vector.py:194-291`, fetch_k = 4k upstream).
+
+    Driver-side by design: the candidate set is fetch_k ≈ 40 rows of
+    (id, sim, vector) already reduced by the distributed kNN; the greedy
+    argmax loop is inherently sequential and O(k·fetch_k) — exactly how
+    the reference's engine does it, and never worth a distributed job.
+
+    ``candidates``: list of (id, sim_to_query, vector). Returns the
+    selected (id, mmr_score) in selection order.
+    """
+    import math as _math
+
+    def _cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return 0.0 if na == 0 or nb == 0 else dp / (na * nb)
+
+    remaining = list(candidates)
+    selected: list[tuple] = []
+    chosen_vecs: list[Sequence[float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        best_score = -float("inf")
+        for cand in remaining:
+            cid, sim, vec = cand
+            max_sel = max((_cos(vec, v) for v in chosen_vecs), default=0.0)
+            score = lambda_mult * sim - (1.0 - lambda_mult) * max_sel
+            if score > best_score or (
+                score == best_score and best is not None and cid < best[0]
+            ):
+                best, best_score = cand, score
+        selected.append((best[0], best_score))
+        chosen_vecs.append(best[2])
+        remaining.remove(best)
+    return selected
