@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered driver query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full physical plan via the noop sink (no driver
+collect — measures cluster-side work, not result serialization). A tiny
+warm-up query first absorbs JVM/codegen spin-up so per-query numbers are
+stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _execute(df) -> None:
+    # noop sink: runs every stage of the plan, discards rows on executors.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from grafeo_memory_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="grafeo-bench")
+    queries = entrymod.queries()
+
+    # Warm-up: JVM, parquet footer reads, codegen caches.
+    _execute(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            _execute(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,8 +120,19 @@ def rrf_fuse(
     return fused
 
 
-def rank_by(df: DataFrame, score: Column, id_col: str, rank_name: str) -> DataFrame:
-    """1-based dense ranking with deterministic id tie-break (row_number:
-    the reference fuses positional ranks from its engine's sorted lists)."""
+def rank_by(
+    df: DataFrame, score: Column, id_col: str, rank_name: str, limit: int = 1000
+) -> DataFrame:
+    """1-based positional ranking (row_number, deterministic id
+    tie-break) — the reference fuses positional ranks from its engine's
+    already-sorted candidate lists (`search/vector.py:123-132`).
+
+    The unpartitioned window is intentional *and bounded*: RRF inputs are
+    top-N candidate lists, never full tables. ``limit`` enforces that —
+    the TakeOrderedAndProject cap runs first, so at most ``limit`` rows
+    ever reach the single-task window. Raise it consciously if a fusion
+    ever needs more than 1000 candidates per source.
+    """
+    capped = df.orderBy(score.desc(), F.col(id_col).asc()).limit(limit)
     w = Window.orderBy(score.desc(), F.col(id_col).asc())
-    return df.withColumn(rank_name, F.row_number().over(w))
+    return capped.withColumn(rank_name, F.row_number().over(w))

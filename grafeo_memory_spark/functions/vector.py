@@ -129,9 +129,16 @@ def knn_multi_probe(
     dedupe keeping the best score, gate on the similarity threshold.
 
     ``probes`` is a small DataFrame (one row per new-fact embedding) —
-    broadcast against the big table; per-probe top-k via one window over
-    the joined candidates, then max-sim dedupe. One shuffle on probe_id
-    for the window; candidates after `threshold` are tiny.
+    broadcast against the big table. The ``sim >= threshold`` filter runs
+    *before* the per-probe top-k window: sub-threshold rows can never
+    survive the reference's post-top-k gate, so pre-filtering is
+    semantics-preserving and cuts the shuffle feeding the window by
+    orders of magnitude (only near matches move).
+
+    Dedupe semantics match the reference exactly: `search_similar`
+    iterates probes in order and a seen-set keeps the FIRST qualifying
+    probe's similarity (`search/vector.py:327-333`) — NOT the best one —
+    so we take the row with the lowest ``probe_id`` per candidate id.
     """
     from pyspark.sql import Window
 
@@ -143,11 +150,16 @@ def knn_multi_probe(
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
-    topk = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    topk = (
+        joined.where(F.col("sim") >= threshold)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    first_wins = Window.partitionBy(id_col).orderBy(F.col(probe_id_col).asc())
     return (
-        topk.where(F.col("sim") >= threshold)
-        .groupBy(id_col)
-        .agg(F.max("sim").alias("score"))
+        topk.withColumn("_first", F.row_number().over(first_wins))
+        .where(F.col("_first") == 1)
+        .select(F.col(id_col), F.col("sim").alias("score"))
     )
 
 

@@ -57,15 +57,35 @@ def drop_newest(
 ) -> DataFrame:
     """W4 — consolidation slice: everything but the newest
     ``preserve_recent`` rows, oldest first (reference
-    `manager.py:1816-1833,1857-1860`)."""
-    order = [F.col(ts_col).desc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).desc())
-    w = Window.orderBy(*order)
+    `manager.py:1816-1833,1857-1860`).
+
+    Two-phase, shuffle-free plan (no global window — a
+    ``Window.orderBy`` without partitionBy funnels the whole table
+    through one task, which dies at scale):
+
+      1. boundary = the oldest of the newest ``preserve_recent`` rows,
+         found via TakeOrderedAndProject (per-partition top-k heap,
+         driver merges k rows) then a single-row aggregate;
+      2. keep rows strictly below the boundary — a broadcast join +
+         codegen'd struct comparison, pushdown-friendly.
+
+    Rows tied with the boundary on ``(ts, tiebreak)`` are treated as
+    "newest" and dropped, matching the row_number formulation when
+    ``tiebreak`` makes the ordering total (pass a unique id for
+    deterministic results).
+    """
+    key_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    order = [c.desc() for c in key_cols]
+    boundary = (
+        df.select(F.struct(*key_cols).alias("_key"))
+        .orderBy(*order)
+        .limit(preserve_recent)
+        .agg(F.min("_key").alias("_boundary"))
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") > preserve_recent)
-        .drop("_rn")
+        df.crossJoin(F.broadcast(boundary))
+        .where(F.struct(*key_cols) < F.col("_boundary"))
+        .drop("_boundary")
         .orderBy(F.col(ts_col).asc())
     )
 

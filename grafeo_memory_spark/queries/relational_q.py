@@ -271,8 +271,8 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — group-by-session rollup (`manager.py:1571-1583`), session key
     = user_id on the events stream table.
 
-    ``ts`` arrives as epoch-nanosecond longs (see session.py nanosAsLong);
-    compared against DuckDB's epoch_ns() for exactness."""
+    ``ts`` arrives as epoch-nanosecond longs (see tables.py nanosAsLong);
+    ns→µs via `div 1000`, compared against DuckDB's epoch_us()."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")

@@ -28,6 +28,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which Spark has no native
+    # type for. The conf is runtime-settable and idempotent, and must be
+    # set on *this* session: the driver supplies its own SparkSession that
+    # never went through our get_spark() factory (session.py).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
