@@ -41,4 +41,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Import for side effects: each module registers its queries.
-from grafeo_memory_spark.queries import relational_q, vector_q  # noqa: E402,F401
+from grafeo_memory_spark.queries import (  # noqa: E402,F401
+    graph_q,
+    relational_q,
+    vector_q,
+)
