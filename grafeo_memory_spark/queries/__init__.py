@@ -44,5 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from grafeo_memory_spark.queries import (  # noqa: E402,F401
     graph_q,
     relational_q,
+    scoring_q,
+    search_q,
     vector_q,
 )
