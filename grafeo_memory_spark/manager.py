@@ -1,0 +1,499 @@
+"""MemoryEngine — the MemoryManager-shaped facade (SURVEY.md §7 phase 6;
+reference `manager.py` public API: add / search / get_all / update /
+delete / delete_all / history / stats / summarize / explain).
+
+The LLM boundary follows the reference's own proven pattern
+(`tests/mock_llm.py:46-63`): extraction, reconciliation and re-ranking
+are pluggable protocols (protocols.py) with deterministic defaults, so
+the whole pipeline is reproducible and unit-testable. Everything else is
+DataFrame plans over the append-only Store.
+
+Per-user write serialization (T2, reference `manager.py:283-284`
+asyncio lock): this facade is a single-writer driver object — calls
+apply in call order, the Spark analog of the reference's lock. A
+multi-writer deployment would partition ingest by user_id upstream
+(foreachBatch per key), which preserves the same per-user ordering.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.functions.scoring import ScoreConfig
+from grafeo_memory_spark.functions.temporal import (
+    classify_temporal,
+    normalize_messages,
+)
+from grafeo_memory_spark.functions.vector import knn_multi_probe
+from grafeo_memory_spark.lifecycle import (
+    Decision,
+    ExecResult,
+    current_view,
+    execute_decisions,
+    hard_delete,
+    memory_history,
+    consolidate,
+)
+from grafeo_memory_spark.operators.filters import compile_filters, scope_filter
+from grafeo_memory_spark.plans.search_pipeline import SearchRequest, search_pipeline
+from grafeo_memory_spark.protocols import (
+    EmbeddingClient,
+    Extractor,
+    HashEmbedder,
+    Reconciler,
+    ScriptedReconciler,
+    normalize_entity_name,
+)
+from grafeo_memory_spark.store import (
+    EDGE_SCHEMA,
+    ENTITY_SCHEMA,
+    EPISODE_SCHEMA,
+    Store,
+    empty_store,
+    load_store,
+)
+
+
+class _PassthroughExtractor:
+    """Default P4: the whole message is one fact, no entities/relations
+    (the reference's infer=False raw-add path, `manager.py:226-248`)."""
+
+    def extract(self, text: str) -> dict[str, Any]:
+        return {"facts": [text], "entities": [], "relations": []}
+
+
+class MemoryEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        store: Store | None = None,
+        embedder: EmbeddingClient | None = None,
+        extractor: Extractor | None = None,
+        reconciler: Reconciler | None = None,
+        config: ScoreConfig | None = None,
+        reconcile_threshold: float = 0.3,
+        now_fn=None,
+    ):
+        self.spark = spark
+        self.store = store or empty_store(spark)
+        self.embedder = embedder or HashEmbedder()
+        self.extractor = extractor or _PassthroughExtractor()
+        self.reconciler = reconciler or ScriptedReconciler()
+        self.config = config or ScoreConfig()
+        self.reconcile_threshold = reconcile_threshold
+        self._now_fn = now_fn or (lambda: int(time.time() * 1000))
+        self._last_stages: list[str] = []
+        maxes = [
+            df.agg(F.max(col)).collect()[0][0]
+            for df, col in (
+                (self.store.memories, "id"),
+                (self.store.entities, "id"),
+                (self.store.episodes, "id"),
+            )
+        ]
+        self._next_node_id = max([m for m in maxes if m is not None] or [0]) + 1
+        emax = self.store.edges.agg(F.max("edge_id")).collect()[0][0]
+        self._next_edge_id = (emax or 0) + 1
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, **kw) -> "MemoryEngine":
+        """S1 — open a persisted store directory."""
+        return cls(spark, store=load_store(spark, path), **kw)
+
+    # ------------------------------------------------------------ add
+    def add(
+        self,
+        messages,
+        *,
+        user_id: str = "default",
+        session_id: str | None = None,
+        run_id: str | None = None,
+        agent_id: str | None = None,
+        graph_name: str | None = None,
+        metadata: dict | None = None,
+        memory_type: str | None = None,
+        infer: bool = True,
+    ) -> ExecResult:
+        """Ingest (reference `_add`, `manager.py:197-326`): normalize →
+        extract (policy) → embed batch → multi-probe candidate search →
+        reconcile (policy) → execute decisions → entity/relation graph →
+        session chain + episode provenance."""
+        now = self._now_fn()
+        text, actor_id, _images = normalize_messages(messages)
+        scope = dict(
+            session_id=session_id, run_id=run_id, agent_id=agent_id,
+            graph_name=graph_name, actor_id=actor_id,
+            role="user" if actor_id else None,
+        )
+        ext = (
+            self.extractor.extract(text)
+            if infer
+            else {"facts": [text], "entities": [], "relations": []}
+        )
+        facts = [f for f in ext.get("facts", []) if f]
+        if not facts:
+            return ExecResult()
+        vecs = self.embedder.embed(facts)
+
+        # V4 reconciliation probe over the current store (k=10/probe)
+        candidates: list[dict[str, Any]] = []
+        live = current_view(self.store.memories).where(
+            scope_filter(user_id=user_id, graph_name=graph_name)
+        )
+        if live.take(1) and infer:
+            probes = self.spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vecs)],
+                "probe_id long, qv array<float>",
+            )
+            cand_df = knn_multi_probe(
+                live, probes, k=10, threshold=self.reconcile_threshold,
+                id_col="id",
+            ).join(
+                self.store.memories.select("id", "text"), "id"
+            )
+            candidates = [
+                {"id": r["id"], "text": r["text"], "score": r["score"]}
+                for r in cand_df.collect()
+            ]
+
+        if infer:
+            rec = self.reconciler.reconcile(facts, candidates)
+            decisions = [
+                Decision(
+                    action=d.get("action", "ADD"),
+                    text=d.get("text"),
+                    target_memory_id=d.get("target_memory_id"),
+                    valid_at=d.get("valid_at"),
+                    invalid_at=d.get("invalid_at"),
+                    metadata=json.dumps(metadata) if metadata else None,
+                    memory_type=d.get("memory_type", memory_type),
+                    importance=d.get("importance"),
+                )
+                for d in rec.get("decisions", [])
+            ]
+        else:
+            decisions = [
+                Decision(
+                    "ADD", f,
+                    metadata=json.dumps(metadata) if metadata else None,
+                    memory_type=memory_type,
+                )
+                for f in facts
+            ]
+
+        self.store, res, self._next_node_id, self._next_edge_id = (
+            execute_decisions(
+                self.store, decisions, self.embedder,
+                user_id=user_id, now_ms=now,
+                next_node_id=self._next_node_id,
+                next_edge_id=self._next_edge_id,
+                scope=scope,
+            )
+        )
+        new_ids = res.added_ids + res.updated_ids
+        if ext.get("entities"):
+            self._store_graph(
+                new_ids, ext["entities"], ext.get("relations", []),
+                user_id=user_id, graph_name=graph_name,
+            )
+        if (run_id or session_id) and new_ids:
+            self._link_session_chain(new_ids, user_id, run_id or session_id, now)
+        self._add_episode(text, user_id, session_id, run_id, now, new_ids)
+        return res
+
+    def _store_graph(
+        self,
+        memory_ids: Sequence[int],
+        entities: Sequence[dict],
+        relations: Sequence[dict],
+        *,
+        user_id: str,
+        graph_name: str | None,
+    ) -> None:
+        """J6 find-or-create entities + HAS_ENTITY/RELATION edges
+        (reference `_store_graph` `manager.py:1646-1683`,
+        `_find_or_create_entity` 1685-1710)."""
+        names = {normalize_entity_name(e["name"]): e for e in entities}
+        if not names:
+            return
+        existing = {
+            r["name"]: r["id"]
+            for r in self.store.entities.where(
+                (F.lower(F.col("name")).isin(list(names)))
+                & (F.col("user_id") == user_id)
+            )
+            .select(F.lower(F.col("name")).alias("name"), "id")
+            .collect()
+        }
+        ent_rows = []
+        ids: dict[str, int] = dict(existing)
+        for name, e in names.items():
+            if name in ids:
+                continue
+            eid = self._next_node_id
+            self._next_node_id += 1
+            ids[name] = eid
+            ent_rows.append(
+                dict(id=eid, name=name,
+                     entity_type=e.get("entity_type", "concept"),
+                     user_id=user_id, graph_name=graph_name)
+            )
+        edge_rows = []
+        for mid in memory_ids:
+            for eid in ids.values():
+                edge_rows.append(
+                    dict(edge_id=self._next_edge_id, src=mid, dst=eid,
+                         edge_type="HAS_ENTITY", relation_type=None,
+                         sequence=None)
+                )
+                self._next_edge_id += 1
+        for r in relations:
+            s = ids.get(normalize_entity_name(r.get("source", "")))
+            t = ids.get(normalize_entity_name(r.get("target", "")))
+            if s is None or t is None:
+                continue
+            edge_rows.append(
+                dict(edge_id=self._next_edge_id, src=s, dst=t,
+                     edge_type="RELATION",
+                     relation_type=r.get("relation_type"), sequence=None)
+            )
+            self._next_edge_id += 1
+        st = self.store
+        if ent_rows:
+            st = st.with_(
+                entities=st.entities.unionByName(
+                    self.spark.createDataFrame(ent_rows, ENTITY_SCHEMA)
+                )
+            )
+        if edge_rows:
+            st = st.with_(
+                edges=st.edges.unionByName(
+                    self.spark.createDataFrame(edge_rows, EDGE_SCHEMA)
+                )
+            )
+        self.store = st
+
+    def _link_session_chain(
+        self, new_ids: Sequence[int], user_id: str, run_key: str, now: int
+    ) -> None:
+        """J13/T1 — LEADS_TO from the session's latest prior memory
+        (reference `_link_session_chain`, `manager.py:1182-1223`)."""
+        prior = (
+            current_view(self.store.memories)
+            .where(
+                (F.col("user_id") == user_id)
+                & (
+                    (F.col("run_id") == run_key)
+                    | (F.col("session_id") == run_key)
+                )
+                & ~F.col("id").isin(list(new_ids))
+            )
+            .orderBy(F.col("created_at").desc(), F.col("id").desc())
+            .limit(1)
+            .collect()
+        )
+        seq_start = 1
+        chain = ([prior[0]["id"]] if prior else []) + sorted(new_ids)
+        edge_rows = []
+        for a, b in zip(chain, chain[1:]):
+            edge_rows.append(
+                dict(edge_id=self._next_edge_id, src=a, dst=b,
+                     edge_type="LEADS_TO", relation_type=None,
+                     sequence=seq_start)
+            )
+            self._next_edge_id += 1
+            seq_start += 1
+        if edge_rows:
+            self.store = self.store.with_(
+                edges=self.store.edges.unionByName(
+                    self.spark.createDataFrame(edge_rows, EDGE_SCHEMA)
+                )
+            )
+
+    def _add_episode(
+        self, content, user_id, session_id, run_id, now, produced_ids
+    ) -> None:
+        """Episode provenance + NEXT_EPISODE chain (reference
+        `manager.py:1227-1307`)."""
+        eid = self._next_node_id
+        self._next_node_id += 1
+        ep = self.spark.createDataFrame(
+            [
+                dict(id=eid, content=content, source="message",
+                     user_id=user_id, session_id=session_id, run_id=run_id,
+                     created_at=now)
+            ],
+            EPISODE_SCHEMA,
+        )
+        edge_rows = [
+            dict(edge_id=self._next_edge_id + i, src=eid, dst=m,
+                 edge_type="PRODUCED", relation_type=None, sequence=None)
+            for i, m in enumerate(produced_ids)
+        ]
+        self._next_edge_id += len(edge_rows)
+        if session_id:
+            prev = (
+                self.store.episodes.where(
+                    (F.col("user_id") == user_id)
+                    & (F.col("session_id") == session_id)
+                )
+                .orderBy(F.col("created_at").desc(), F.col("id").desc())
+                .limit(1)
+                .collect()
+            )
+            if prev:
+                edge_rows.append(
+                    dict(edge_id=self._next_edge_id, src=prev[0]["id"],
+                         dst=eid, edge_type="NEXT_EPISODE",
+                         relation_type=None, sequence=None)
+                )
+                self._next_edge_id += 1
+        st = self.store.with_(episodes=self.store.episodes.unionByName(ep))
+        if edge_rows:
+            st = st.with_(
+                edges=st.edges.unionByName(
+                    self.spark.createDataFrame(edge_rows, EDGE_SCHEMA)
+                )
+            )
+        self.store = st
+
+    # --------------------------------------------------------- search
+    def search(
+        self,
+        query: str | None = None,
+        *,
+        query_vec: Sequence[float] | None = None,
+        anchor_entity_names: Sequence[str] | None = None,
+        k: int = 10,
+        **kw,
+    ) -> DataFrame:
+        """Retrieval (reference `_search` `manager.py:522-792`): X1
+        temporal hints from the query text flip include_expired /
+        chronological sort / candidate widening; then the composed
+        pipeline plan (plans/search_pipeline.py)."""
+        if query_vec is None:
+            if query is None:
+                raise ValueError("need query text or query_vec")
+            query_vec = self.embedder.embed([query])[0]
+        req_kw: dict[str, Any] = dict(kw)
+        if query is not None:
+            hints = classify_temporal(query)
+            req_kw.setdefault("include_expired", hints.include_expired)
+            req_kw.setdefault("sort_chronologically", hints.sort_chronologically)
+            req_kw.setdefault("expand_limit", hints.expand_limit)
+            if hints.point_in_time_hint is not None:
+                req_kw.setdefault("point_in_time", hints.point_in_time_hint)
+        req = SearchRequest(
+            query_vec=query_vec, k=k,
+            anchor_entity_names=anchor_entity_names,
+            now_ms=self._now_fn(), config=self.config, **req_kw,
+        )
+        df, self._last_stages = search_pipeline(self.store, req)
+        return df
+
+    def explain(self) -> list[str]:
+        """Stage trace of the most recent search (reference
+        `manager.py:794-834`)."""
+        return list(self._last_stages)
+
+    # ---------------------------------------------------- maintenance
+    def get_all(
+        self, *, user_id: str | None = None, filters: dict | None = None,
+        include_expired: bool = False, limit: int | None = None,
+    ) -> DataFrame:
+        df = current_view(self.store.memories, include_expired)
+        if user_id is not None:
+            df = df.where(F.col("user_id") == user_id)
+        if filters:
+            df = df.where(compile_filters(filters))
+        df = df.orderBy(F.col("created_at").asc(), F.col("id").asc())
+        return df.limit(limit) if limit else df
+
+    def update(self, memory_id: int, text: str, *, user_id: str = "default") -> ExecResult:
+        self.store, res, self._next_node_id, self._next_edge_id = (
+            execute_decisions(
+                self.store,
+                [Decision("UPDATE", text, target_memory_id=memory_id)],
+                self.embedder, user_id=user_id, now_ms=self._now_fn(),
+                next_node_id=self._next_node_id,
+                next_edge_id=self._next_edge_id,
+            )
+        )
+        return res
+
+    def delete(self, memory_id: int, *, hard: bool = False) -> None:
+        """Soft delete via the executor; hard delete = S8 anti-join
+        (reference public `delete()` `manager.py:2192-2198`)."""
+        if hard:
+            self.store = hard_delete(self.store, [memory_id])
+            return
+        self.store, _, self._next_node_id, self._next_edge_id = (
+            execute_decisions(
+                self.store,
+                [Decision("DELETE", target_memory_id=memory_id)],
+                self.embedder, user_id="default", now_ms=self._now_fn(),
+                next_node_id=self._next_node_id,
+                next_edge_id=self._next_edge_id,
+            )
+        )
+
+    def delete_all(self, *, user_id: str) -> int:
+        """A7 — bulk delete with count (reference `manager.py:2200-2207`)."""
+        victims = [
+            r["id"]
+            for r in self.store.memories.where(F.col("user_id") == user_id)
+            .select("id").collect()
+        ]
+        self.store = hard_delete(self.store, victims)
+        return len(victims)
+
+    def history(self, memory_id: int) -> DataFrame:
+        return memory_history(self.store, memory_id)
+
+    def stats(self) -> dict[str, Any]:
+        """S11 — store stats (reference `_stats_impl`,
+        `manager.py:1926-2014`)."""
+        by_type = {
+            r["memory_type"]: r["n"]
+            for r in current_view(self.store.memories)
+            .groupBy(
+                F.coalesce(F.col("memory_type"), F.lit("semantic")).alias(
+                    "memory_type"
+                )
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return {
+            "memories_by_type": by_type,
+            "total_memories": sum(by_type.values()),
+            "entities": self.store.entities.count(),
+            "episodes": self.store.episodes.count(),
+            "relations": self.store.edges.where(
+                F.col("edge_type") == "RELATION"
+            ).count(),
+        }
+
+    def summarize(
+        self, *, user_id: str, summarize_batch=None, preserve_recent: int = 5,
+        batch_size: int = 10, topology_protect_threshold: float | None = None,
+    ) -> list[int]:
+        """Consolidation (reference `manager.py:1835-1915`)."""
+        summarize_batch = summarize_batch or (
+            lambda texts: "summary: " + "; ".join(t[:40] for t in texts)
+        )
+        self.store, sids, self._next_node_id, self._next_edge_id = consolidate(
+            self.store, summarize_batch, self.embedder,
+            user_id=user_id, now_ms=self._now_fn(),
+            next_node_id=self._next_node_id,
+            next_edge_id=self._next_edge_id,
+            preserve_recent=preserve_recent, batch_size=batch_size,
+            topology_protect_threshold=topology_protect_threshold,
+        )
+        return sids

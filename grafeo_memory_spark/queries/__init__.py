@@ -22,7 +22,7 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 #: name of the flagship query run by ``entry()``
-FLAGSHIP = "knn_topk"
+FLAGSHIP = "search_pipeline"
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Import for side effects: each module registers its queries.
 from grafeo_memory_spark.queries import (  # noqa: E402,F401
     graph_q,
+    pipeline_q,
     relational_q,
     scoring_q,
     search_q,

@@ -1,0 +1,159 @@
+"""The memory-graph store: fixed schemas + load/save/empty constructors
+(SURVEY.md §1.4 Spark mapping of the reference's property graph).
+
+The reference keeps a dynamic property dict per node
+(`protocol.py:17-27`); here each label is a typed DataFrame with the
+reference's write-site conventions (`manager.py:1037-1091`) as explicit
+columns — `metadata` stays a JSON string for byte-compatibility with the
+reference's own storage choice (`manager.py:1066`). All timestamps are
+epoch-millisecond LongType (reference convention, `manager.py:211`).
+
+Scale notes: `save_store` partitions `memories` by `user_id` — the
+Spark analog of the reference's property indexes on user_id/graph_name
+(`manager.py:129-133`); per-user queries then prune partitions at the
+file level. Edges are written bucketed-ready (sorted by src) so a real
+deployment can bucket both sides of traversal joins.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EMBEDDING_DIMS = 16  # fixture/test dimensionality; configurable per store
+
+MEMORY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("memory_type", T.StringType(), True),
+        T.StructField("created_at", T.LongType(), True),
+        T.StructField("updated_at", T.LongType(), True),
+        T.StructField("learned_at", T.LongType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("agent_id", T.StringType(), True),
+        T.StructField("run_id", T.StringType(), True),
+        T.StructField("graph_name", T.StringType(), True),
+        T.StructField("actor_id", T.StringType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("importance", T.DoubleType(), True),
+        T.StructField("access_count", T.LongType(), True),
+        T.StructField("last_accessed", T.LongType(), True),
+        T.StructField("expired_at", T.LongType(), True),
+        T.StructField("valid_at", T.LongType(), True),
+        T.StructField("invalid_at", T.LongType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("_pagerank", T.DoubleType(), True),
+        T.StructField("_betweenness", T.DoubleType(), True),
+        T.StructField("_community", T.IntegerType(), True),
+    ]
+)
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("entity_type", T.StringType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("graph_name", T.StringType(), True),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("edge_id", T.LongType(), False),
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("edge_type", T.StringType(), False),
+        T.StructField("relation_type", T.StringType(), True),
+        T.StructField("sequence", T.IntegerType(), True),
+    ]
+)
+
+EPISODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("run_id", T.StringType(), True),
+        T.StructField("created_at", T.LongType(), True),
+    ]
+)
+
+HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("memory_id", T.LongType(), False),
+        T.StructField("event", T.StringType(), False),
+        T.StructField("old_text", T.StringType(), True),
+        T.StructField("new_text", T.StringType(), True),
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("actor_id", T.StringType(), True),
+        T.StructField("role", T.StringType(), True),
+    ]
+)
+
+TABLE_SCHEMAS = {
+    "memories": MEMORY_SCHEMA,
+    "entities": ENTITY_SCHEMA,
+    "edges": EDGE_SCHEMA,
+    "episodes": EPISODE_SCHEMA,
+    "history": HISTORY_SCHEMA,
+}
+
+
+@dataclass(frozen=True)
+class Store:
+    """Immutable handle on the five memory-graph DataFrames. Mutations
+    (lifecycle.py) return a new Store — append-only semantics, matching
+    the reference's soft-expiry design (SURVEY §2.12 T3)."""
+
+    memories: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+    episodes: DataFrame
+    history: DataFrame
+
+    def with_(self, **tables: DataFrame) -> "Store":
+        return replace(self, **tables)
+
+
+def empty_store(spark: SparkSession) -> Store:
+    return Store(
+        **{
+            name: spark.createDataFrame([], schema)
+            for name, schema in TABLE_SCHEMAS.items()
+        }
+    )
+
+
+def load_store(spark: SparkSession, path: str) -> Store:
+    return Store(
+        **{
+            name: spark.read.parquet(os.path.join(path, f"{name}.parquet"))
+            for name in TABLE_SCHEMAS
+        }
+    )
+
+
+def save_store(store: Store, path: str) -> None:
+    """Persist; memories partitioned by user_id (partition pruning for
+    F1 scope filters), edges sorted by (edge_type, src) for scan
+    locality on traversal joins."""
+    store.memories.write.mode("overwrite").partitionBy("user_id").parquet(
+        os.path.join(path, "memories.parquet")
+    )
+    store.edges.sortWithinPartitions("edge_type", "src").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "edges.parquet"))
+    for name in ("entities", "episodes", "history"):
+        getattr(store, name).write.mode("overwrite").parquet(
+            os.path.join(path, f"{name}.parquet")
+        )

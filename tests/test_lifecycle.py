@@ -1,0 +1,199 @@
+"""End-to-end lifecycle tests (SURVEY.md §2.14): add → update → delete
+→ search semantics over the append-only store, in the reference test
+suite's style (scripted reconciler, hash embedder, pinned clock)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.functions.scoring import ScoreConfig
+from grafeo_memory_spark.manager import MemoryEngine
+from grafeo_memory_spark.protocols import ScriptedExtractor, ScriptedReconciler
+
+NOW = [1_700_000_000_000]
+
+
+def tick():
+    NOW[0] += 60_000
+    return NOW[0]
+
+
+@pytest.fixture()
+def engine(spark):
+    return MemoryEngine(spark, now_fn=tick)
+
+
+def test_add_then_search_finds_it(engine):
+    res = engine.add("alice likes coffee", user_id="alice")
+    assert len(res.added_ids) == 1
+    out = engine.search("coffee", user_id="alice", k=5).collect()
+    assert [r["text"] for r in out] == ["alice likes coffee"]
+    assert out[0]["source"] == "vector"
+    # exact same text → hash embedder gives cosine 1 → top score
+    assert engine.explain()[0] == "scope_filter"
+    assert engine.explain()[-1] == "final"
+
+
+def test_update_expires_old_and_supersedes(engine):
+    res = engine.add("bob works at acme", user_id="bob")
+    old_id = res.added_ids[0]
+    upd = engine.update(old_id, "bob works at globex", user_id="bob")
+    new_id = upd.updated_ids[0]
+
+    # search excludes the expired version
+    texts = [
+        r["text"] for r in engine.search("bob works", user_id="bob", k=10).collect()
+    ]
+    assert texts == ["bob works at globex"]
+
+    # include_expired finds both (reference include_expired semantics)
+    both = engine.search(
+        "bob works", user_id="bob", k=10, include_expired=True
+    ).collect()
+    assert {r["text"] for r in both} == {
+        "bob works at acme", "bob works at globex",
+    }
+
+    # SUPERSEDES edge new→old
+    sup = engine.store.edges.where(F.col("edge_type") == "SUPERSEDES").collect()
+    assert [(r["src"], r["dst"]) for r in sup] == [(new_id, old_id)]
+
+    # bi-temporal: old version got invalid_at stamped
+    old_row = engine.store.memories.where(F.col("id") == old_id).collect()[0]
+    assert old_row["expired_at"] is not None
+    assert old_row["invalid_at"] is not None
+
+    # temporal-hint phrasing flips include_expired automatically (X1)
+    past = engine.search("where did bob previously work", user_id="bob", k=10)
+    assert {r["text"] for r in past.collect()} == {
+        "bob works at acme", "bob works at globex",
+    }
+
+
+def test_update_inherits_entity_edges(spark):
+    ext = ScriptedExtractor(
+        [
+            {
+                "facts": ["carol plays piano"],
+                "entities": [{"name": "Piano", "entity_type": "concept"}],
+                "relations": [],
+            },
+        ]
+    )
+    eng = MemoryEngine(spark, extractor=ext, now_fn=tick)
+    res = eng.add("carol plays piano", user_id="carol")
+    old_id = res.added_ids[0]
+    he_old = eng.store.edges.where(
+        (F.col("edge_type") == "HAS_ENTITY") & (F.col("src") == old_id)
+    ).collect()
+    assert len(he_old) == 1
+    # entity name normalized lowercase_underscore (X7)
+    ent = eng.store.entities.collect()
+    assert [e["name"] for e in ent] == ["piano"]
+
+    upd = eng.update(old_id, "carol plays violin", user_id="carol")
+    new_id = upd.updated_ids[0]
+    he_new = eng.store.edges.where(
+        (F.col("edge_type") == "HAS_ENTITY") & (F.col("src") == new_id)
+    ).collect()
+    assert [(r["dst"]) for r in he_new] == [he_old[0]["dst"]]
+
+
+def test_delete_soft_and_history(engine):
+    res = engine.add("dave lives in paris", user_id="dave")
+    mid = res.added_ids[0]
+    engine.delete(mid)
+    assert engine.search("dave", user_id="dave", k=5).count() == 0
+    events = [r["event"] for r in engine.history(mid).collect()]
+    assert events == ["ADD", "DELETE"]
+
+
+def test_reconciler_decisions_respected(spark):
+    rec = ScriptedReconciler(
+        [
+            {"decisions": [{"action": "ADD", "text": "fact one"}]},
+            # second add: NONE — store unchanged
+            {"decisions": [{"action": "NONE"}]},
+        ]
+    )
+    eng = MemoryEngine(spark, reconciler=rec, now_fn=tick)
+    eng.add("fact one", user_id="u")
+    eng.add("fact one again", user_id="u")
+    assert eng.get_all(user_id="u").count() == 1
+    # UPDATE without target downgrades to ADD (reference
+    # reconciliation/memories.py:44-52)
+    rec2 = ScriptedReconciler(
+        [{"decisions": [{"action": "UPDATE", "text": "downgraded"}]}]
+    )
+    eng2 = MemoryEngine(spark, reconciler=rec2, now_fn=tick)
+    r = eng2.add("x", user_id="u")
+    assert len(r.added_ids) == 1
+
+
+def test_session_chain_and_episode(engine):
+    engine.add("step one", user_id="eve", session_id="s1", run_id="r1")
+    engine.add("step two", user_id="eve", session_id="s1", run_id="r1")
+    lt = engine.store.edges.where(F.col("edge_type") == "LEADS_TO").collect()
+    assert len(lt) == 1  # second memory chained to first
+    ep = engine.store.episodes.collect()
+    assert len(ep) == 2
+    ne = engine.store.edges.where(F.col("edge_type") == "NEXT_EPISODE").collect()
+    assert len(ne) == 1
+    assert (
+        engine.store.edges.where(F.col("edge_type") == "PRODUCED").count() == 2
+    )
+
+
+def test_delete_all_counts(engine):
+    engine.add("m1", user_id="frank")
+    engine.add("m2", user_id="frank")
+    engine.add("other", user_id="grace")
+    assert engine.delete_all(user_id="frank") == 2
+    assert engine.store.memories.count() == 1
+
+
+def test_stats_rollup(engine):
+    engine.add("a", user_id="u", memory_type="procedural")
+    engine.add("b", user_id="u")  # NULL type → semantic
+    s = engine.stats()
+    assert s["memories_by_type"] == {"procedural": 1, "semantic": 1}
+    assert s["total_memories"] == 2
+    assert s["episodes"] == 2
+
+
+def test_summarize_consolidation(engine):
+    for i in range(8):
+        engine.add(f"old fact {i}", user_id="hank")
+    sids = engine.summarize(user_id="hank", preserve_recent=3, batch_size=10)
+    assert len(sids) == 1
+    mems = engine.store.memories.where(F.col("user_id") == "hank").collect()
+    # 3 preserved + 1 summary
+    assert len(mems) == 4
+    summary = [m for m in mems if m["source"] == "summarize"]
+    assert len(summary) == 1
+    df_edges = engine.store.edges.where(F.col("edge_type") == "DERIVED_FROM")
+    assert df_edges.count() == 5  # lineage to each consolidated original
+    # DELETE history recorded per original
+    dels = engine.store.history.where(F.col("event") == "DELETE").count()
+    assert dels == 5
+
+
+def test_search_min_score_and_chrono(spark):
+    eng = MemoryEngine(
+        spark,
+        config=ScoreConfig(search_min_score=0.99),
+        now_fn=tick,
+    )
+    eng.add("hello world", user_id="u")
+    # min-score 0.99 filters everything (composite < 1 for non-identical)
+    assert eng.search("something else entirely", user_id="u", k=5).count() == 0
+    assert "min_score_filter" in eng.explain()
+    # chronological sort stage appears when hinted
+    eng2 = MemoryEngine(spark, now_fn=tick)
+    eng2.add("first event", user_id="u")
+    eng2.add("second event", user_id="u")
+    out = eng2.search("when did the events happen", user_id="u", k=5)
+    rows = out.collect()
+    assert "temporal_sort" in eng2.explain()
+    assert [r["text"] for r in rows] == ["first event", "second event"]
