@@ -1,0 +1,281 @@
+"""Graph algorithms G1-G3 as iterative DataFrame joins (SURVEY.md §2.10;
+reference delegates to its engine at `protocol.py:39-43`, consumed by
+`manager.py:1585-1644` and `communities.py:32-200`).
+
+Spark has no Python GraphX API, so these implement the
+aggregateMessages pattern directly on DataFrames — the same formulation
+GraphFrames uses. Each iteration is one join + one aggregation;
+`localCheckpoint()` every few rounds truncates the lineage so plans
+don't grow unboundedly (SURVEY §4 physical note). All loops are
+driver-controlled with convergence checks — iterative fixpoints are
+inherently outside Catalyst.
+
+Substitutions vs the reference engine (documented, SURVEY §7 risk 3):
+- Louvain → synchronous label propagation (LPA). Both produce integer
+  community ids from edge density; LPA is the standard distributed
+  stand-in. Tests assert structural invariants (partition count,
+  intra>inter density), not exact ids.
+- Betweenness → Brandes restricted to a deterministic source sample
+  (all sources on small graphs), normalized like
+  `betweenness_centrality(normalized=True)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "label_propagation", "betweenness_centrality"]
+
+CHECKPOINT_EVERY = 5
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select("src", "dst")
+    return fwd.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """G1 — PageRank on the directed edge list (src, dst); returns
+    (node_id, pagerank) summing to 1, matching the reference's
+    `pagerank(damping=0.85, max_iter=100, tol=1e-6)` semantics
+    (`protocol.py:39-41`).
+
+    Per iteration: one shuffle for the message aggregation (groupBy dst)
+    plus a broadcast of the dangling-mass scalar. Convergence = L1
+    delta < tol (an action per iteration — unavoidable for a
+    driver-controlled fixpoint). Dangling-node mass is redistributed
+    uniformly, the standard treatment.
+    """
+    verts = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("pagerank", F.lit(0.0))
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = edges.select("src", "dst").join(out_deg, "src").localCheckpoint()
+
+    ranks = verts.withColumn("pagerank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(max_iter):
+        contrib = (
+            links.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("pagerank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(
+                out_deg.withColumnRenamed("src", "node_id"), "node_id", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        new_ranks = (
+            verts.join(contrib, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pagerank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == max_iter - 1:
+            new_ranks = new_ranks.localCheckpoint()
+        delta = (
+            new_ranks.withColumnRenamed("pagerank", "pr_new")
+            .join(ranks, "node_id")
+            .agg(F.sum(F.abs(F.col("pr_new") - F.col("pagerank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """G3 — synchronous LPA over the undirected edge set; returns
+    (node_id, community). Deterministic: each node adopts the most
+    frequent neighbor label, ties broken by the smallest label id, and
+    iteration stops when no label changes.
+
+    Per iteration: neighbor-label join + two aggregations (count per
+    label, argmax per node). Stand-in for the reference's Louvain
+    (`communities.py:32-200`) — see module docstring.
+    """
+    und = _undirected(edges).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("community", F.col("node_id"))
+        .localCheckpoint()
+    )
+    for i in range(max_iter):
+        nbr_labels = (
+            und.join(labels.withColumnRenamed("node_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("node_id"), "community")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("votes").desc(), F.col("community").asc()
+        )
+        new_labels = (
+            nbr_labels.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node_id", "community")
+        )
+        # isolated nodes keep their own label
+        new_labels = labels.select("node_id").join(
+            new_labels, "node_id", "left"
+        ).select(
+            "node_id",
+            F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("community", "c_new")
+            .join(labels, "node_id")
+            .where(F.col("c_new") != F.col("community"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    max_depth: int = 10,
+    normalized: bool = True,
+) -> DataFrame:
+    """G2 — Brandes betweenness over the undirected edge set via
+    multi-source BFS joins; returns (node_id, betweenness).
+
+    All-pairs Brandes is O(V·E) — at scale the reference-faithful move
+    is a documented source sample (``sources``; default = every vertex,
+    exact, fine at test scale). The BFS runs ALL sources concurrently:
+    the frontier is keyed by (source, node), so each depth level is one
+    join regardless of how many sources are in flight — the
+    aggregateMessages trick that keeps the loop depth-bounded, not
+    source-bounded.
+    """
+    und = _undirected(edges).localCheckpoint()
+    verts = und.select(F.col("src").alias("node_id")).distinct()
+    n = verts.count()
+    if sources is None:
+        src_df = verts.select(F.col("node_id").alias("s"))
+    else:
+        src_df = und.sparkSession.createDataFrame(
+            [(int(s),) for s in sources], "s long"
+        )
+
+    # forward BFS: (s, v) -> depth, sigma (shortest-path count)
+    frontier = src_df.select(
+        "s", F.col("s").alias("v"), F.lit(0).alias("depth"), F.lit(1.0).alias("sigma")
+    )
+    visited = frontier.localCheckpoint()
+    levels = [visited]
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und.withColumnRenamed("src", "v"), "v")
+            .select("s", F.col("dst").alias("v"), F.col("sigma"))
+            .join(
+                visited.select("s", F.col("v").alias("v2")).withColumnRenamed(
+                    "v2", "v"
+                ).withColumn("_seen", F.lit(1)),
+                ["s", "v"],
+                "left",
+            )
+            .where(F.col("_seen").isNull())
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("depth", F.lit(depth))
+            .select("s", "v", "depth", "sigma")
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+
+    # backward accumulation by descending depth:
+    # delta(v) += sigma_v/sigma_w * (1 + delta_w) for BFS-successors w
+    delta = visited.select("s", "v").withColumn("delta", F.lit(0.0))
+    for d in range(len(levels) - 1, 0, -1):
+        lower = levels[d].select("s", "v", "sigma")
+        upper = levels[d - 1].select("s", "v", "sigma")
+        dlt = delta.join(
+            lower.select("s", "v"), ["s", "v"]
+        )  # deltas of depth-d nodes
+        contrib = (
+            lower.join(dlt, ["s", "v"])
+            .withColumnRenamed("v", "w")
+            .withColumnRenamed("sigma", "sigma_w")
+            .join(
+                und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                "w",
+            )
+            .join(
+                upper.withColumnRenamed("sigma", "sigma_v"), ["s", "v"]
+            )
+            .select(
+                "s",
+                "v",
+                (
+                    F.col("sigma_v")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("add"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("add").alias("add"))
+        )
+        delta = (
+            delta.join(contrib, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias(
+                    "delta"
+                ),
+            )
+            .localCheckpoint()
+        )
+
+    bc = (
+        delta.where(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("node_id"))
+        .agg((F.sum("delta") / 2.0).alias("betweenness"))  # undirected halving
+    )
+    out = verts.join(bc, "node_id", "left").select(
+        "node_id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+    if normalized and n > 2:
+        out = out.withColumn(
+            "betweenness", F.col("betweenness") / ((n - 1) * (n - 2) / 2.0)
+        )
+    return out

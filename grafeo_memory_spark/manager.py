@@ -78,6 +78,7 @@ class MemoryEngine:
         reconciler: Reconciler | None = None,
         config: ScoreConfig | None = None,
         reconcile_threshold: float = 0.3,
+        enable_graph_algorithms: bool = False,
         now_fn=None,
     ):
         self.spark = spark
@@ -89,6 +90,10 @@ class MemoryEngine:
         self.reconcile_threshold = reconcile_threshold
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
+        self.enable_graph_algorithms = enable_graph_algorithms
+        #: G4 dirty flag (reference `manager.py:247,323-324`): set on
+        #: every write, cleared when metrics are recomputed lazily
+        self._graph_dirty = True
         maxes = [
             df.agg(F.max(col)).collect()[0][0]
             for df, col in (
@@ -205,6 +210,7 @@ class MemoryEngine:
         if (run_id or session_id) and new_ids:
             self._link_session_chain(new_ids, user_id, run_id or session_id, now)
         self._add_episode(text, user_id, session_id, run_id, now, new_ids)
+        self._graph_dirty = True
         return res
 
     def _store_graph(
@@ -381,6 +387,8 @@ class MemoryEngine:
             if query is None:
                 raise ValueError("need query text or query_vec")
             query_vec = self.embedder.embed([query])[0]
+        if self.enable_graph_algorithms and self._graph_dirty:
+            self.refresh_metrics()
         req_kw: dict[str, Any] = dict(kw)
         if query is not None:
             hints = classify_temporal(query)
@@ -401,6 +409,14 @@ class MemoryEngine:
         """Stage trace of the most recent search (reference
         `manager.py:794-834`)."""
         return list(self._last_stages)
+
+    def refresh_metrics(self, **kw) -> None:
+        """G1-G4 — recompute and cache graph metrics on the memories
+        table (reference lazy recompute at `manager.py:1585-1644`)."""
+        from grafeo_memory_spark.graph.metrics import apply_metrics, compute_metrics
+
+        self.store = apply_metrics(self.store, compute_metrics(self.store, **kw))
+        self._graph_dirty = False
 
     # ---------------------------------------------------- maintenance
     def get_all(
@@ -425,11 +441,13 @@ class MemoryEngine:
                 next_edge_id=self._next_edge_id,
             )
         )
+        self._graph_dirty = True
         return res
 
     def delete(self, memory_id: int, *, hard: bool = False) -> None:
         """Soft delete via the executor; hard delete = S8 anti-join
         (reference public `delete()` `manager.py:2192-2198`)."""
+        self._graph_dirty = True
         if hard:
             self.store = hard_delete(self.store, [memory_id])
             return
@@ -451,6 +469,7 @@ class MemoryEngine:
             .select("id").collect()
         ]
         self.store = hard_delete(self.store, victims)
+        self._graph_dirty = True
         return len(victims)
 
     def history(self, memory_id: int) -> DataFrame:

@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Import for side effects: each module registers its queries.
 from grafeo_memory_spark.queries import (  # noqa: E402,F401
+    algo_q,
     graph_q,
     pipeline_q,
     relational_q,

@@ -1,0 +1,50 @@
+"""Driver queries for the iterative graph algorithms (G1-G3) over the
+fixture entity graph. Iterative fixpoints are not SQL-expressible in the
+driver's oracle harness, so these register rows-only checks; their
+numeric correctness is pinned by closed-form unit tests against
+hand-computed power-iteration/Brandes oracles
+(tests/test_graph_algorithms.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.graph.algorithms import label_propagation, pagerank
+from grafeo_memory_spark.queries import query
+from grafeo_memory_spark.sources.tables import load_fixture
+
+
+@query("pagerank_entities")  # iterative fixpoint — rows-only check
+def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — PageRank over the entity RELATION graph (reference
+    `manager.py:1585-1622`), capped at 15 iterations for the bench
+    budget (tol convergence usually fires earlier on this graph);
+    top-50 ranked entities."""
+    edges = load_fixture(spark, sf_dir, "edges").where(
+        F.col("edge_type") == "RELATION"
+    )
+    pr = pagerank(edges, max_iter=15, tol=1e-6)
+    return (
+        pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("node_id").asc())
+        .limit(50)
+    )
+
+
+@query("communities_lpa")  # iterative fixpoint — rows-only check
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — label-propagation communities over the RELATION graph
+    (Louvain stand-in, reference `communities.py:32-200`): community
+    sizes ≥2, the reference's formation threshold (A5)."""
+    edges = load_fixture(spark, sf_dir, "edges").where(
+        F.col("edge_type") == "RELATION"
+    )
+    labels = label_propagation(edges, max_iter=10)
+    return (
+        labels.groupBy("community")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+    )

@@ -1,0 +1,122 @@
+"""G1-G3 tests against closed-form / hand-computed power-iteration
+oracles on tiny graphs (FIXTURES.md §D: pure-function expectations for
+SQL-inexpressible iterative ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.graph.algorithms import (
+    betweenness_centrality,
+    label_propagation,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(i, s, d, "RELATION") for i, (s, d) in enumerate(pairs)],
+        "edge_id long, src long, dst long, edge_type string",
+    )
+
+
+def _py_pagerank(pairs, n_nodes, damping=0.85, iters=200):
+    """Plain-python power iteration with uniform dangling redistribution
+    — the oracle."""
+    nodes = sorted({x for p in pairs for x in p})
+    out = {v: 0 for v in nodes}
+    for s, _ in pairs:
+        out[s] += 1
+    r = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if out[v] == 0)
+        nxt = {v: (1 - damping) / len(nodes) + damping * dangling / len(nodes)
+               for v in nodes}
+        for s, d in pairs:
+            nxt[d] += damping * r[s] / out[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_two_node_cycle(spark):
+    pr = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(_edges(spark, [(1, 2), (2, 1)])).collect()
+    }
+    assert pr[1] == pytest.approx(0.5, abs=1e-6)
+    assert pr[2] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 2)]
+    got = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(_edges(spark, pairs), max_iter=200).collect()
+    }
+    want = _py_pagerank(pairs, 5)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-5), f"node {v}"
+
+
+def test_pagerank_dangling_mass(spark):
+    # 1→2, 2 dangles: mass must still sum to 1
+    got = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(_edges(spark, [(1, 2)])).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got[2] > got[1]
+
+
+def test_lpa_two_disjoint_triangles(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    labels = {
+        r["node_id"]: r["community"]
+        for r in label_propagation(_edges(spark, pairs)).collect()
+    }
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[1] != labels[10]
+
+
+def test_betweenness_path_graph(spark):
+    # path 1-2-3: only the middle node carries flow; normalized → 1.0
+    got = {
+        r["node_id"]: r["betweenness"]
+        for r in betweenness_centrality(_edges(spark, [(1, 2), (2, 3)])).collect()
+    }
+    assert got[2] == pytest.approx(1.0, abs=1e-9)
+    assert got[1] == pytest.approx(0.0, abs=1e-9)
+    assert got[3] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_betweenness_star_center(spark):
+    # star K1,4: center on every pair path → normalized 1, leaves 0
+    got = {
+        r["node_id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+        ).collect()
+    }
+    assert got[0] == pytest.approx(1.0, abs=1e-9)
+    for leaf in (1, 2, 3, 4):
+        assert got[leaf] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_betweenness_square_with_diagonal(spark):
+    # cycle 1-2-3-4 plus chord 1-3: hand-computed Brandes values
+    # pairs: (2,4) has two shortest paths (via 1 and via 3) → each of
+    # nodes 1,3 gets 0.5; all other pairs are direct edges.
+    got = {
+        r["node_id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+        ).collect()
+    }
+    # normalization: /((4-1)(4-2)/2) = /3
+    assert got[1] == pytest.approx(0.5 / 3, abs=1e-9)
+    assert got[3] == pytest.approx(0.5 / 3, abs=1e-9)
+    assert got[2] == pytest.approx(0.0, abs=1e-9)
+    assert got[4] == pytest.approx(0.0, abs=1e-9)
