@@ -1,0 +1,101 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(builder brief: brute-force cosine top-k baseline + an LSH-bucketed
+scale path).
+
+Hyperplanes are deterministic (HashEmbedder-generated unit vectors), so
+the DuckDB oracle can inline the exact same planes as SQL literals and
+the bucketed results hash-match — the approximation is reproducible, not
+just plausible.
+
+Scale design: the brute-force path is scan → codegen'd cosine →
+TakeOrderedAndProject per probe (no shuffle of the big table; verified
+plan in functions/vector.py). The LSH path buckets BOTH sides on a
+``num_planes``-bit signature: the join touches only same-bucket rows,
+so cost is Σ|bucket|·|probes in bucket| instead of |table|·|probes| —
+the difference between feasible and not at 10⁹ vectors. Recall is
+tunable via ``num_planes`` (fewer planes → bigger buckets → higher
+recall, more compute).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.functions.vector import cosine_similarity, dot
+from grafeo_memory_spark.protocols import HashEmbedder
+
+__all__ = [
+    "random_hyperplanes",
+    "hyperplane_signature",
+    "ann_lsh_join",
+    "planes_sql_literal",
+]
+
+
+def random_hyperplanes(num_planes: int, dims: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic unit hyperplanes — reproducible across engines and
+    runs (no RNG state: each plane is the hash-embedding of its name)."""
+    emb = HashEmbedder(dims)
+    return [emb.embed_one(f"hyperplane-{seed}-{i}") for i in range(num_planes)]
+
+
+def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product LSH signature packed into an int: bit i set
+    iff dot(v, plane_i) > 0."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        F.when(
+            dot(v, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    return reduce(lambda a, b: a + b, bits)
+
+
+def planes_sql_literal(planes: list[list[float]]) -> list[str]:
+    """Render each plane as a DuckDB DOUBLE[] literal for oracle SQL."""
+    return [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+
+
+def ann_lsh_join(
+    table: DataFrame,
+    probes: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_vec_col: str = "qv",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """LSH-bucketed ANN join: per probe, the top-k most cosine-similar
+    table rows *within the probe's hyperplane bucket*. Output
+    (probe_id, id, sim, rank).
+
+    Both sides compute the same signature; the equi-join on it replaces
+    the cross join of the brute-force path. Probes are tiny → broadcast.
+    """
+    sig_t = table.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    sig_p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(probe_vec_col).alias("qv"),
+        hyperplane_signature(probe_vec_col, planes).alias("bucket"),
+    )
+    scored = sig_t.join(F.broadcast(sig_p), "bucket").select(
+        "probe_id", "id", cosine_similarity(F.col("v"), F.col("qv")).alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "id", "sim", "rank")
+    )

@@ -1,0 +1,256 @@
+"""Deduplication operators for LLM training corpora: exact,
+MinHash-LSH, SimHash, and n-gram Jaccard similarity join.
+
+Every hash is *engine-portable by construction* — md5 of the shingle
+(optionally salted with a permutation seed), first 15 hex chars parsed
+as a 60-bit int — so the DuckDB oracle computes bit-identical
+signatures and the correctness gate covers the whole sketch path, not
+just row counts.
+
+Scale design:
+- exact dedup: one shuffle on the 128-bit content hash; keep-min-id via
+  aggregate + semi-join (no window).
+- MinHash: one explode over distinct shingles, ``num_perm`` min()
+  aggregates in a single groupBy — map-side partial aggregation does
+  most of the work; signatures are ~128 bytes/doc.
+- LSH banding: candidates only ever join on (band, band_hash) buckets —
+  the all-pairs cross join never exists. Bucket skew (boilerplate text)
+  is bounded by ``max_bucket_size``.
+- Jaccard join: classic shingle-inverted-index join with a
+  document-frequency cap on hot shingles — the standard skew guard:
+  a shingle in >df_cap docs contributes O(df_cap²) pairs, so hot
+  shingles are dropped *before* the pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "content_hash",
+    "exact_dedup",
+    "word_shingles",
+    "shingle_hash",
+    "minhash_signature",
+    "lsh_bands",
+    "near_dup_pairs_minhash",
+    "simhash16",
+    "jaccard_similarity_join",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for content hashing: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_hash(col: Column | str) -> Column:
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keeping the smallest id per content group. One
+    shuffle on the hash; no global window."""
+    h = content_hash(text_col).alias("_h")
+    hashed = df.withColumn("_h", content_hash(text_col))
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    return (
+        hashed.join(keep, "_h")
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>).
+    Documents shorter than n words yield their full text as the single
+    shingle, so every doc has ≥1."""
+    c = normalize_text(col)
+    toks = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
+
+
+def shingle_hash(shingle: Column, seed: int) -> Column:
+    """Portable 60-bit hash: md5(shingle + '#' + seed) → first 15 hex
+    chars → bigint. Identical in DuckDB:
+    ``('0x' || substr(md5(s || '#k'), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(shingle, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over shingle hashes for each
+    of ``num_perm`` salted hash functions → (id, sig: array<long>).
+
+    One explode + one groupBy with num_perm partial-aggregating min()s.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(shingle_hash(F.col("shingle"), k)).alias(f"_m{k}")
+        for k in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_bands(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Split signatures into ``bands`` bands of ``rows`` values; band
+    key = md5 of the joined values → (id, band, band_hash)."""
+    parts = []
+    for b in range(bands):
+        band_vals = F.slice(F.col("sig"), b * rows + 1, rows)
+        parts.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.transform(band_vals, lambda v: v.cast("string")))).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return sig_df.select(
+        "id", F.explode(F.array(*parts)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band buckets → candidate pairs
+    (id_a < id_b) → exact Jaccard verification over shingle sets →
+    pairs with jaccard ≥ threshold.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    pair join (boilerplate guard — a 10⁶-doc bucket would emit 10¹²
+    pairs). Output: (id_a, id_b, jaccard).
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(df, text_col, id_col, num_perm, n)
+    bandsdf = lsh_bands(sig, bands, rows)
+    sizes = bandsdf.groupBy("band", "band_hash").agg(F.count("*").alias("_bs"))
+    bounded = bandsdf.join(
+        sizes.where(F.col("_bs") <= max_bucket_size), ["band", "band_hash"]
+    )
+    a = bounded.select("band", "band_hash", F.col("id").alias("id_a"))
+    b = bounded.select("band", "band_hash", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash16(col: Column | str, n: int = 1) -> Column:
+    """16-bit SimHash over word ``n``-grams — each token votes ±1 per
+    bit of its portable hash; the sign vector packs into an int.
+
+    16 bits keeps the expression tree small enough for one codegen
+    stage AND byte-identical SQL oracles; production would widen to 64
+    with the same structure (4 stacked 16-bit lanes).
+    """
+    grams = word_shingles(col, n)
+    h = lambda g: shingle_hash(g, 0)  # noqa: E731
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(
+            grams,
+            F.lit(0),
+            lambda acc, g: acc
+            + F.when(h(g).bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_intersection: int = 2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity join via the shingle inverted index:
+    explode shingles → self-join on shingle → count intersections per
+    pair → jaccard from set sizes. Output (id_a, id_b, jaccard).
+
+    ``df_cap`` drops shingles occurring in more than that many docs
+    *before* pairing — the skew guard that makes this viable at scale
+    (hot boilerplate shingles generate quadratic pairs and add almost
+    no signal).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").agg(F.countDistinct("id").alias("_df"))
+        sh = sh.join(
+            F.broadcast(hot.where(F.col("_df") <= df_cap).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.withColumnRenamed("id", "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .where(F.col("inter") >= min_intersection)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

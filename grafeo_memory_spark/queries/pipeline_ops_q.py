@@ -1,0 +1,368 @@
+"""Driver queries for the training-data pipeline operators (dedup,
+similarity, text analysis) over the `documents`/`embeddings` tables —
+every sketch is hash-portable (md5-based), so the DuckDB oracles verify
+signatures and pair sets bit-for-bit, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.ann import (
+    ann_lsh_join,
+    hyperplane_signature,
+    planes_sql_literal,
+    random_hyperplanes,
+)
+from grafeo_memory_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_similarity_join,
+    minhash_signature,
+    simhash16,
+)
+from grafeo_memory_spark.pipeline.text_stats import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+    BPE_TOKEN_RE,
+)
+from grafeo_memory_spark.queries import query
+from grafeo_memory_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- SQL
+# fragments mirroring pipeline/dedup.py + text_stats.py exactly
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_filter(list_transform("
+        f"range(0, greatest(len({_TOKS}) - {n}, 0) + 1), "
+        f"i -> array_to_string({_TOKS}[i+1:i+{n}], ' ')), g -> g <> ''))"
+    )
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
+def _minhash_sql(n: int, seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({_shingles_sql(n)}, "
+        f"s -> {_hash_sql('s', seed)}), 'min')"
+    )
+
+
+def _simhash16_sql() -> str:
+    words = _shingles_sql(1)
+    bits = []
+    for b in range(16):
+        vote = (
+            f"list_sum(list_transform({words}, "
+            f"w -> CASE WHEN ({_hash_sql('w', 0)} & {1 << b}) > 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+
+def _stop_ratio_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return (
+        f"(CASE WHEN len({_WORDS}) = 0 THEN 0.0 ELSE "
+        f"len(list_filter({_WORDS}, w -> list_contains({lst}, w)))::DOUBLE"
+        f" / len({_WORDS}) END)"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(_stop_ratio_sql(l) for l in langs) + ")"
+    out = "'und'"
+    for lang in sorted(langs, reverse=True):
+        r = _stop_ratio_sql(lang)
+        out = f"(CASE WHEN {r} > 0 AND {r} = {best} THEN '{lang}' ELSE {out} END)"
+    return out
+
+
+_QUALITY_SQL = (
+    "0.35 * least(1.0, length(text)::DOUBLE / 500)"
+    f" + 0.30 * least(1.0, 3.0 * {_stop_ratio_sql('en')})"
+    " + 0.20 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE"
+    r" (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE"
+    " / length(text) END))"
+    " + 0.15 * (CASE WHEN"
+    f" (CASE WHEN len({_WORDS}) = 0 THEN 0.0 ELSE"
+    f" list_sum(list_transform({_WORDS}, w -> length(w)))::DOUBLE / len({_WORDS}) END)"
+    " BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)"
+)
+
+PLANES = random_hyperplanes(8, 64, seed=7)
+_PLANES_SQL = planes_sql_literal(PLANES)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES_SQL)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+_DUCK_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+# ------------------------------------------------------------ queries
+
+
+@query(
+    "exact_dedup",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),
+    keep AS (SELECT hh, min(doc_id) AS k FROM h GROUP BY hh)
+    SELECT h.doc_id FROM h JOIN keep ON h.hh = keep.hh AND h.doc_id = keep.k
+    ORDER BY h.doc_id
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, keep the smallest id per
+    content group. One shuffle on the 128-bit hash — the baseline pass
+    every training-data pipeline runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {_minhash_sql(3, 0)} AS m0,
+           {_minhash_sql(3, 1)} AS m1,
+           {_minhash_sql(3, 2)} AS m2,
+           {_minhash_sql(3, 3)} AS m3
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (first 4 of 16 permutations shown): min over
+    word-trigram shingle hashes per salted hash function. The sketch
+    itself is oracle-verified bit-for-bit — the LSH banding above it is
+    pure arithmetic on these values."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("sig")[k].alias(f"m{k}") for k in range(4)],
+    ).orderBy("doc_id")
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {_simhash16_sql()} AS simhash FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (unigram votes on portable hash
+    bits) — near-dups differ in few bits; Hamming-ball blocking rides
+    on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash16("text").alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "jaccard_topk_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_shingles_sql(3)}) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id HAVING count(*) >= 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity join (shingle inverted index, the
+    df_cap skew guard available for scale) — top-20 most similar
+    document pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(
+        docs, "text", "doc_id", n=3, min_intersection=2
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS_AB}, 6) AS cos
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS_AB} >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH
+    blocking: same 8-bit bucket → exact cosine verify ≥ 0.2. The
+    deterministic planes mean the oracle reproduces the *same*
+    approximation — bucketing is verified, not just sampled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", hyperplane_signature("embedding", PLANES).alias("bucket")
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
+    from grafeo_memory_spark.functions.vector import cosine_similarity
+
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine_similarity("e_a", "e_b"))
+        .where(F.col("cos_raw") >= 0.2)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding AS qe, bucket
+      FROM sig WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, t.vec_id AS id,
+             list_dot_product(t.embedding::DOUBLE[], p.qe::DOUBLE[])
+               / (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.qe::DOUBLE[], p.qe::DOUBLE[]))) AS sim
+      FROM sig t JOIN probes p ON t.bucket = p.bucket
+      WHERE t.vec_id <> p.probe_id
+    )
+    SELECT probe_id, id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 for 3 probes: the scale path for batch
+    similarity search — the bucket equi-join replaces the brute-force
+    cross join (multi_probe covers the exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
+    )
+    out = ann_lsh_join(
+        emb.withColumnRenamed("vec_id", "tid").withColumnRenamed(
+            "embedding", "emb"
+        ).select(F.col("tid").alias("vec_id"), F.col("emb").alias("embedding")),
+        probes,
+        PLANES,
+        k=5,
+    )
+    out = out.where(F.col("id") != F.col("probe_id"))
+    # re-rank after dropping self-matches so ranks stay dense 1..5
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "id", F.round("sim", 6).alias("sim"), "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_lang_id_sql()} AS lang_guess,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+             AS tok_ws,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS tok_bpe,
+           round({_QUALITY_SQL}, 6) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis per document: stopword-heuristic language ID,
+    whitespace + BPE-ish token counts, and the quality composite
+    (length / stopword density / punctuation / word-length sanity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        token_count_ws("text").alias("tok_ws"),
+        token_count_bpe_ish("text").alias("tok_bpe"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_transform(
+             list_sort(list_transform({_shingles_sql(3)},
+                                      s -> {_hash_sql('s', 0)}))[1:8],
+             v -> v::VARCHAR), ',')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-8 sketch fingerprint per document (k smallest trigram
+    hashes, md5-folded) — a compact blocking key for near-dup
+    clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
+    ).orderBy("doc_id")

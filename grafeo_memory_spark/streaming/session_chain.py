@@ -1,0 +1,144 @@
+"""Streaming ingest with session-chain semantics (SURVEY.md §2.12
+T1/T2): the reference links each new memory to its session's latest
+prior memory under a per-user lock (`manager.py:1182-1223,283-284`);
+the streaming analog derives the same LEADS_TO edges continuously.
+
+Design: ``foreachBatch`` + per-batch window. Each micro-batch is
+repartitioned by session key and lag-windowed *within* the batch; the
+cross-batch boundary link (first event of a batch → last event of the
+previous batch) comes from a small "session tails" state table that the
+sink maintains — the Spark equivalent of the reference's per-session
+pointer. Per-key ordering holds because event-time ordering within a
+session is resolved by the window, and batch boundaries are serialized
+by the streaming engine (T2: one writer per micro-batch).
+
+A watermarked tumbling-window rollup is included as the late-data
+pattern (the reference itself never drops late data — bi-temporal
+columns make lateness a query-time concern — so the watermark here
+guards state size only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),  # epoch ms
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (one parquet/json drop per ingest
+    batch). ``maxFilesPerTrigger`` bounds batch size in production."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def batch_session_links(
+    batch: DataFrame, tails: DataFrame | None = None
+) -> DataFrame:
+    """Derive LEADS_TO pairs for one (micro-)batch: lag over
+    (user, session) ordered by (ts, event_id), plus boundary links from
+    the previous batches' session tails (state rows shaped like events:
+    the last event per session so far).
+
+    Returns (user_id, session_id, src_event, dst_event, sequence).
+    """
+    cols = ["event_id", "ts", "user_id", "session_id"]
+    ext = batch.select(*cols).withColumn("_is_tail", F.lit(False))
+    if tails is not None:
+        ext = ext.unionByName(
+            tails.select(*cols).withColumn("_is_tail", F.lit(True))
+        )
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    linked = ext.select(
+        "user_id",
+        "session_id",
+        F.lag("event_id").over(w).alias("src_event"),
+        F.col("event_id").alias("dst_event"),
+        F.row_number().over(w).alias("sequence"),
+        "_is_tail",
+    )
+    # tail rows only *provide* predecessors; they are not new links
+    return linked.where(
+        F.col("src_event").isNotNull() & ~F.col("_is_tail")
+    ).drop("_is_tail")
+
+
+def session_tails(batch: DataFrame, tails: DataFrame | None = None) -> DataFrame:
+    """New state after a batch: the latest event per (user, session)."""
+    cols = ["event_id", "ts", "user_id", "session_id"]
+    ext = batch.select(*cols)
+    if tails is not None:
+        ext = ext.unionByName(tails.select(*cols))
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ext.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@dataclass
+class SessionChainSink:
+    """foreachBatch sink holding the session-tail state and collecting
+    emitted LEADS_TO links (a real deployment writes both to tables;
+    the in-object form keeps tests hermetic)."""
+
+    links: list = field(default_factory=list)
+    _tails: DataFrame | None = None
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        out = batch_session_links(batch, self._tails)
+        self.links.extend(out.collect())
+        self._tails = session_tails(batch, self._tails).localCheckpoint()
+
+
+def run_session_chain_stream(
+    spark: SparkSession, path: str, checkpoint: str
+) -> SessionChainSink:
+    """Wire the stream end-to-end with an availableNow trigger (process
+    everything present, then stop) — the test/backfill mode; a live
+    deployment drops the trigger."""
+    sink = SessionChainSink()
+    q = (
+        read_event_stream(spark, path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def windowed_event_counts(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
+    """Watermarked tumbling-window rollup (late-data guard pattern):
+    events per user per hour, 10-minute watermark. Works on both batch
+    and streaming DataFrames."""
+    ts = F.timestamp_millis(F.col("ts"))
+    return (
+        events.withColumn("event_time", ts)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(
+            F.window("event_time", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "user_id", "n_events"
+        )
+    )

@@ -1,0 +1,184 @@
+"""Unit tests for the training-data pipeline ops: planted duplicates
+through dedup/sketches, ANN recall sanity, text stats, and the
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.ann import (
+    ann_lsh_join,
+    hyperplane_signature,
+    random_hyperplanes,
+)
+from grafeo_memory_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_similarity_join,
+    minhash_signature,
+    near_dup_pairs_minhash,
+    simhash16,
+)
+from grafeo_memory_spark.pipeline.multimodal import (
+    ASSET_SCHEMA,
+    decode_images,
+    fake_image_decode,
+    sample_frames,
+)
+from grafeo_memory_spark.pipeline.text_stats import (
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 2-word-window change
+FAR = "completely unrelated text about spark dataframes and shuffles"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),                       # exact duplicate
+            (3, "  THE  quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill in the afternoon sun"),
+            (4, NEAR),                       # near duplicate
+            (5, FAR),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect())
+    # 2 is an exact dup of 1; 3 normalizes (case/whitespace) to the same
+    assert kept == [1, 4, 5]
+
+
+def test_minhash_near_dup_pairs(docs):
+    pairs = near_dup_pairs_minhash(
+        docs, "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups jaccard 1.0; near-dup 4 overlaps heavily with 1/2/3
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p for p in got)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == pytest.approx(1.0)
+    assert 0.5 <= j[(1, 4)] < 1.0
+
+
+def test_simhash_hamming_locality(docs):
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash16("text").alias("sh")).collect()}
+    assert sh[1] == sh[2] == sh[3]  # identical content → identical hash
+    ham_near = bin(sh[1] ^ sh[4]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_jaccard_join_ranks_duplicates_first(docs):
+    pairs = jaccard_similarity_join(docs, "text", "doc_id").collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == pytest.approx(1.0)
+    assert j[(1, 4)] > j.get((4, 5), 0.0)
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    # shingle 'a b c' occurs in all 4 docs; cap=2 removes it entirely
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], "doc_id long, text string"
+    )
+    assert (
+        jaccard_similarity_join(
+            df, "text", "doc_id", min_intersection=1, df_cap=2
+        ).count()
+        == 0
+    )
+    assert (
+        jaccard_similarity_join(df, "text", "doc_id", min_intersection=1).count()
+        == 6
+    )  # all pairs
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signature(docs, "text", "doc_id", num_perm=16).collect()
+    assert all(len(r["sig"]) == 16 for r in sig)
+    by_id = {r["id"]: r["sig"] for r in sig}
+    assert by_id[1] == by_id[2]  # identical docs → identical signatures
+
+
+def test_ann_lsh_same_bucket_for_same_vector(spark):
+    planes = random_hyperplanes(8, 4, seed=1)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0, 0.0]),
+         (3, [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sig = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", hyperplane_signature("embedding", planes).alias("b")).collect()}
+    assert sig[1] == sig[2]          # near-identical vectors co-bucket
+    assert sig[1] != sig[3]          # antipodal vector lands elsewhere
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0005, 0.0, 0.0])], "probe_id long, qv array<double>"
+    )
+    out = ann_lsh_join(df, probes, planes, k=5).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    assert out[0]["rank"] == 1
+
+
+def test_text_stats_basics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "el gato y la casa en un sol"),
+         (3, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", lang_id("text").alias("lang"),
+        token_count_ws("text").alias("ws"),
+        token_count_bpe_ish("text").alias("bpe"),
+        quality_score("text").alias("q"),
+    ).collect()}
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[3]["lang"] == "und"
+    assert rows[1]["ws"] == 6
+    assert rows[1]["bpe"] == 6
+    assert 0.0 <= rows[3]["q"] < rows[1]["q"] <= 1.0
+    # punctuation adds BPE-ish tokens but not whitespace tokens
+    p = spark.createDataFrame([(1, "hello, world!")], "doc_id long, text string")
+    r = p.select(token_count_ws("text").alias("ws"),
+                 token_count_bpe_ish("text").alias("bpe")).collect()[0]
+    assert r["ws"] == 2 and r["bpe"] == 4
+
+
+def test_multimodal_decode_plumbing(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"imagebytes-1"), '{"fmt":"jpg"}'),
+            (2, "image", bytearray(b"imagebytes-2"), None),
+            (3, "video", bytearray(b"v" * 100), None),
+            (4, "audio", bytearray(b"a" * 10), None),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = decode_images(assets, dims=8).collect()
+    assert {r["asset_id"] for r in feats} == {1, 2}  # kind filter pushed
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same payload → same features
+    w, h, f = fake_image_decode(b"imagebytes-1", 8)
+    got = [r for r in feats if r["asset_id"] == 1][0]
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["features"] == pytest.approx(f)
+
+    frames = sample_frames(assets, every_nth=10, max_frames=4).collect()
+    assert {r["asset_id"] for r in frames} == {3}
+    assert [r["frame_index"] for r in frames] == [0, 1, 2, 3]
+    assert all(len(r["frame_payload"]) > 0 for r in frames)

@@ -1,0 +1,81 @@
+"""Streaming session-chain tests: cross-batch LEADS_TO continuity via
+the availableNow file stream, and the watermarked window rollup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.streaming.session_chain import (
+    EVENT_SCHEMA,
+    batch_session_links,
+    run_session_chain_stream,
+    session_tails,
+    windowed_event_counts,
+)
+
+T0 = 1_700_000_000_000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [dict(event_id=i, ts=t, user_id=u, session_id=s, text=None)
+         for i, t, u, s in rows],
+        EVENT_SCHEMA,
+    )
+
+
+def test_batch_links_within_session(spark):
+    b = _events(spark, [
+        (1, T0 + 1000, "u1", "s1"),
+        (2, T0 + 2000, "u1", "s1"),
+        (3, T0 + 3000, "u1", "s2"),   # different session → no link
+        (4, T0 + 4000, "u2", "s1"),   # different user → no link
+        (5, T0 + 5000, "u1", "s1"),
+    ])
+    links = {(r["src_event"], r["dst_event"]) for r in
+             batch_session_links(b).collect()}
+    assert links == {(1, 2), (2, 5)}
+
+
+def test_cross_batch_boundary_link(spark):
+    b1 = _events(spark, [(1, T0 + 1000, "u1", "s1"), (2, T0 + 2000, "u1", "s1")])
+    tails = session_tails(b1)
+    b2 = _events(spark, [(3, T0 + 3000, "u1", "s1")])
+    links = {(r["src_event"], r["dst_event"]) for r in
+             batch_session_links(b2, tails).collect()}
+    assert links == {(2, 3)}  # first event of batch 2 chains to batch 1 tail
+    # tails update after batch 2
+    t2 = session_tails(b2, tails).collect()
+    assert [(r["session_id"], r["event_id"]) for r in t2] == [("s1", 3)]
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "events")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+    # two files → (at least) two micro-batches with availableNow+maxFiles
+    _events(spark, [(1, T0 + 1000, "u1", "s1"), (2, T0 + 2000, "u1", "s1")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _events(spark, [(3, T0 + 3000, "u1", "s1"), (4, T0 + 1000, "u2", "s9")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    sink = run_session_chain_stream(spark, src, ckpt)
+    links = {(r["src_event"], r["dst_event"]) for r in sink.links}
+    # regardless of how files were batched, the chain 1→2→3 must come
+    # out whole and u2's singleton must not link
+    assert links == {(1, 2), (2, 3)}
+
+
+def test_windowed_counts_watermark(spark):
+    ev = _events(spark, [
+        (1, T0, "u1", "s1"),
+        (2, T0 + 10 * 60_000, "u1", "s1"),
+        (3, T0 + 70 * 60_000, "u1", "s1"),   # next hour window
+        (4, T0, "u2", "s1"),
+    ])
+    out = {(r["user_id"], r["window_start"].minute, r["n_events"])
+           for r in windowed_event_counts(ev).collect()}
+    counts = sorted(r[2] for r in out)
+    assert counts == [1, 1, 2]
