@@ -70,12 +70,15 @@ def classify_temporal(query: str) -> TemporalHints:
         h.signals.append("duration")
         h.sort_chronologically = True
         h.expand_limit = True
-    m = _POINT_RE.search(query)
-    if m:
+    if _POINT_RE.search(query):
         h.signals.append("point_in_time")
-        for g in (m.group(2), m.group(3)):
-            if g:
-                h.point_in_time_hint = parse_date_ms(g)
+        # the phrase and the date may be separate tokens ("as of 2023"):
+        # pull the first explicit date or year anywhere in the query
+        date = re.search(r"\d{4}-\d{2}-\d{2}", query) or re.search(
+            r"\b(?:19|20)\d{2}\b", query
+        )
+        if date:
+            h.point_in_time_hint = parse_date_ms(date.group(0))
     h.is_temporal = bool(h.signals)
     return h
 

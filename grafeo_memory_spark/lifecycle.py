@@ -282,6 +282,65 @@ def hard_delete(store: Store, memory_ids: Sequence[int]) -> Store:
     return store.with_(memories=memories, edges=edges)
 
 
+def get_existing_relations(store: Store, entity_ids: Sequence[int]) -> DataFrame:
+    """J7 — outgoing RELATION edges of a batch of entities, deduped by
+    edge id, hydrated with endpoint names (reference
+    `_get_existing_relations`, `manager.py:1712-1751`): the input the
+    relation-reconciliation policy sees."""
+    spark = store.edges.sparkSession
+    ids = spark.createDataFrame([(int(i),) for i in entity_ids], "src long")
+    names = store.entities.select("id", "name")
+    return (
+        store.edges.where(F.col("edge_type") == "RELATION")
+        .join(F.broadcast(ids), "src", "left_semi")
+        .dropDuplicates(["edge_id"])
+        .join(
+            names.select(F.col("id").alias("src"), F.col("name").alias("source_name")),
+            "src",
+        )
+        .join(
+            names.select(F.col("id").alias("dst"), F.col("name").alias("target_name")),
+            "dst",
+        )
+        .select("edge_id", "src", "dst", "source_name", "relation_type", "target_name")
+    )
+
+
+def delete_relations(store: Store, triples: Sequence[dict]) -> Store:
+    """J8 — delete RELATION edges matching (source, target,
+    relation_type) name triples (reference `_delete_relations`,
+    `manager.py:1753-1767`): resolve names → ids, anti-join the edges
+    table on the triple key."""
+    if not triples:
+        return store
+    spark = store.edges.sparkSession
+    tdf = spark.createDataFrame(
+        [
+            (t.get("source"), t.get("target"), t.get("relation_type"))
+            for t in triples
+        ],
+        "source_name string, target_name string, relation_type string",
+    )
+    names = store.entities.select("id", "name")
+    victims = (
+        tdf.join(
+            names.select(F.col("name").alias("source_name"), F.col("id").alias("src")),
+            "source_name",
+        )
+        .join(
+            names.select(F.col("name").alias("target_name"), F.col("id").alias("dst")),
+            "target_name",
+        )
+        .select("src", "dst", "relation_type")
+    )
+    rel = store.edges.where(F.col("edge_type") == "RELATION")
+    keep_rel = rel.join(
+        F.broadcast(victims), ["src", "dst", "relation_type"], "left_anti"
+    )
+    other = store.edges.where(F.col("edge_type") != "RELATION")
+    return store.with_(edges=other.unionByName(keep_rel))
+
+
 def memory_history(store: Store, memory_id: int) -> DataFrame:
     """History read: events for one memory ordered ASC by timestamp
     (reference `history.py:105-110`, W3)."""

@@ -46,6 +46,8 @@ from grafeo_memory_spark.protocols import (
     Extractor,
     HashEmbedder,
     Reconciler,
+    Reranker,
+    RunUsage,
     ScriptedReconciler,
     normalize_entity_name,
 )
@@ -77,6 +79,9 @@ class MemoryEngine:
         extractor: Extractor | None = None,
         reconciler: Reconciler | None = None,
         config: ScoreConfig | None = None,
+        reranker: Reranker | None = None,
+        relation_reconciler=None,
+        usage_callback=None,
         reconcile_threshold: float = 0.3,
         enable_graph_algorithms: bool = False,
         now_fn=None,
@@ -87,6 +92,14 @@ class MemoryEngine:
         self.extractor = extractor or _PassthroughExtractor()
         self.reconciler = reconciler or ScriptedReconciler()
         self.config = config or ScoreConfig()
+        self.reranker = reranker
+        #: optional policy deciding which existing RELATION triples a
+        #: new relation batch contradicts (reference
+        #: `reconciliation/relations.py:26-62`): callable
+        #: (new_relations, existing_rows) -> list of triples to delete
+        self.relation_reconciler = relation_reconciler
+        #: P6 usage callback: (operation: str, usage: RunUsage) -> None
+        self.usage_callback = usage_callback
         self.reconcile_threshold = reconcile_threshold
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
@@ -141,6 +154,8 @@ class MemoryEngine:
             if infer
             else {"facts": [text], "entities": [], "relations": []}
         )
+        if self.usage_callback and infer:
+            self.usage_callback("extract", RunUsage(calls=1))
         facts = [f for f in ext.get("facts", []) if f]
         if not facts:
             return ExecResult()
@@ -169,6 +184,8 @@ class MemoryEngine:
 
         if infer:
             rec = self.reconciler.reconcile(facts, candidates)
+            if self.usage_callback:
+                self.usage_callback("reconcile", RunUsage(calls=1))
             decisions = [
                 Decision(
                     action=d.get("action", "ADD"),
@@ -259,6 +276,27 @@ class MemoryEngine:
                          sequence=None)
                 )
                 self._next_edge_id += 1
+        # J7/J8 — relation contradiction pass (reference
+        # `reconciliation/relations.py:26-62` via `_store_graph`
+        # `manager.py:1671-1678`): show the policy the existing outgoing
+        # relations of the touched entities; delete what it contradicts
+        if relations and self.relation_reconciler and ids:
+            from grafeo_memory_spark.lifecycle import (
+                delete_relations,
+                get_existing_relations,
+            )
+
+            existing = [
+                r.asDict()
+                for r in get_existing_relations(
+                    self.store, list(ids.values())
+                ).collect()
+            ]
+            to_delete = self.relation_reconciler(list(relations), existing)
+            if self.usage_callback:
+                self.usage_callback("relation_reconcile", RunUsage(calls=1))
+            if to_delete:
+                self.store = delete_relations(self.store, to_delete)
         for r in relations:
             s = ids.get(normalize_entity_name(r.get("source", "")))
             t = ids.get(normalize_entity_name(r.get("target", "")))
@@ -397,12 +435,30 @@ class MemoryEngine:
             req_kw.setdefault("expand_limit", hints.expand_limit)
             if hints.point_in_time_hint is not None:
                 req_kw.setdefault("point_in_time", hints.point_in_time_hint)
+        # R9 — LLM re-rank (reference `reranker.py:50-124`, applied at
+        # `manager.py:758-764`): widen candidates, score driver-side
+        # (a top-2k list — policy calls are per-result, inherently
+        # driver work), cut back to k. Falls back to the original order
+        # on policy failure, like the reference.
+        fetch_k = k * 2 if self.reranker else k
         req = SearchRequest(
-            query_vec=query_vec, k=k,
+            query_vec=query_vec, k=fetch_k,
             anchor_entity_names=anchor_entity_names,
             now_ms=self._now_fn(), config=self.config, **req_kw,
         )
         df, self._last_stages = search_pipeline(self.store, req)
+        if self.reranker:
+            rows = [r.asDict() for r in df.collect()]
+            try:
+                reranked = self.reranker.rerank(query or "", rows, k)
+                if self.usage_callback:
+                    self.usage_callback("rerank", RunUsage(calls=1))
+            except Exception:
+                reranked = rows[:k]
+            self._last_stages.insert(self._last_stages.index("final"), "rerank")
+            if not reranked:
+                return df.limit(0)
+            df = self.spark.createDataFrame(reranked, df.schema)
         return df
 
     def explain(self) -> list[str]:

@@ -121,3 +121,16 @@ def valid_at_point(
 def min_score(threshold: float, col: str = "score") -> Column:
     """F7 — min-score gate (`manager.py:773-784`)."""
     return F.col(col) >= F.lit(threshold)
+
+
+def point_lookup(df: DataFrame, node_id: int, id_col: str = "id") -> DataFrame:
+    """S3 — node by id (`get_node`, reference `protocol.py:68`). The
+    equality predicate prunes row groups via Parquet min/max stats; in
+    pipelines prefer joins over per-row lookups (no N+1 — SURVEY §4 O2)."""
+    return df.where(F.col(id_col) == F.lit(node_id))
+
+
+def find_by_property(df: DataFrame, name: str, value) -> DataFrame:
+    """S4 — node ids by property value (`find_nodes_by_property`,
+    reference `protocol.py:76`)."""
+    return df.where(F.col(name) == F.lit(value)).select("id")

@@ -154,6 +154,24 @@ class IdentityReranker:
         return results[:top_k]
 
 
+@dataclass
+class RunUsage:
+    """A6/P6 — usage accumulation (reference `RunUsage.incr`,
+    `manager.py:177-193`, `types.py:330-347`): counts per policy-layer
+    call, summed across an operation. Token fields stay zero under the
+    deterministic mocks but keep the reference's shape for real
+    providers."""
+
+    calls: int = 0
+    input_tokens: int = 0
+    output_tokens: int = 0
+
+    def incr(self, other: "RunUsage") -> None:
+        self.calls += other.calls
+        self.input_tokens += other.input_tokens
+        self.output_tokens += other.output_tokens
+
+
 def normalize_entity_name(name: str) -> str:
     """X7 — the reference's prompt contract stores entity names
     lowercase_underscored (`prompts.py:65-66`)."""

@@ -524,6 +524,35 @@ def q_community_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "point_lookup",
+    oracle=f"""
+    SELECT id, text, user_id, created_at FROM {_MEM} WHERE id = 42
+    """,
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — point lookup by node id (`get_node`, `protocol.py:68`)."""
+    from grafeo_memory_spark.operators.filters import point_lookup
+
+    mem = load_fixture(spark, sf_dir, "memories")
+    return point_lookup(mem, 42).select("id", "text", "user_id", "created_at")
+
+
+@query(
+    "property_lookup",
+    oracle=f"""
+    SELECT id FROM {_ENT} WHERE entity_type = 'location' ORDER BY id
+    """,
+)
+def q_property_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — node ids by property value (`find_nodes_by_property`,
+    `protocol.py:76`)."""
+    from grafeo_memory_spark.operators.filters import find_by_property
+
+    ent = load_fixture(spark, sf_dir, "entities")
+    return find_by_property(ent, "entity_type", "location").orderBy("id")
+
+
+@query(
     "memory_stats",
     oracle=f"""
     SELECT coalesce(memory_type, 'semantic') AS memory_type,

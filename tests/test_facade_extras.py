@@ -1,0 +1,132 @@
+"""Facade extras: R9 rerank wiring, A6 usage accumulation, J7/J8
+relation reconciliation, G4 metric refresh."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.manager import MemoryEngine
+from grafeo_memory_spark.protocols import RunUsage, ScriptedExtractor
+
+NOW = [1_600_000_000_000]
+
+
+def tick():
+    NOW[0] += 60_000
+    return NOW[0]
+
+
+class ReverseReranker:
+    """Deterministic R9 stand-in: reverses the incoming order."""
+
+    def rerank(self, query, results, top_k):
+        return list(reversed(results))[:top_k]
+
+
+def test_reranker_applied_and_traced(spark):
+    eng = MemoryEngine(spark, reranker=ReverseReranker(), now_fn=tick)
+    eng.add("alpha fact", user_id="u")
+    eng.add("beta fact", user_id="u")
+    out = eng.search("alpha fact", user_id="u", k=2).collect()
+    assert "rerank" in eng.explain()
+    # pipeline order: alpha (exact match) first → reranker reverses
+    assert [r["text"] for r in out] == ["beta fact", "alpha fact"]
+
+
+def test_usage_callback_accumulates(spark):
+    total = RunUsage()
+    calls = []
+
+    def cb(op, usage):
+        calls.append(op)
+        total.incr(usage)
+
+    eng = MemoryEngine(spark, usage_callback=cb, now_fn=tick)
+    eng.add("some fact", user_id="u")
+    assert "extract" in calls and "reconcile" in calls
+    assert total.calls == len(calls)
+
+
+def test_relation_reconciliation_deletes_contradicted(spark):
+    ext = ScriptedExtractor(
+        [
+            {
+                "facts": ["bob works at acme"],
+                "entities": [
+                    {"name": "bob", "entity_type": "person"},
+                    {"name": "acme", "entity_type": "organization"},
+                ],
+                "relations": [
+                    {"source": "bob", "target": "acme",
+                     "relation_type": "works_at"}
+                ],
+            },
+            {
+                "facts": ["bob works at globex"],
+                "entities": [
+                    {"name": "bob", "entity_type": "person"},
+                    {"name": "globex", "entity_type": "organization"},
+                ],
+                "relations": [
+                    {"source": "bob", "target": "globex",
+                     "relation_type": "works_at"}
+                ],
+            },
+        ]
+    )
+
+    def contradicts(new_rels, existing):
+        # a new works_at contradicts any existing works_at of the source
+        out = []
+        for n in new_rels:
+            for e in existing:
+                if (
+                    e["relation_type"] == n["relation_type"]
+                    and e["source_name"] == n["source"]
+                    and e["target_name"] != n["target"]
+                ):
+                    out.append(
+                        {"source": e["source_name"], "target": e["target_name"],
+                         "relation_type": e["relation_type"]}
+                    )
+        return out
+
+    eng = MemoryEngine(
+        spark, extractor=ext, relation_reconciler=contradicts, now_fn=tick
+    )
+    eng.add("bob works at acme", user_id="u")
+    rel0 = eng.store.edges.where(F.col("edge_type") == "RELATION").count()
+    assert rel0 == 1
+    eng.add("bob works at globex", user_id="u")
+    rels = (
+        eng.store.edges.where(F.col("edge_type") == "RELATION")
+        .join(
+            eng.store.entities.select(
+                F.col("id").alias("dst"), F.col("name").alias("target")
+            ),
+            "dst",
+        )
+        .collect()
+    )
+    # the acme relation was contradicted and deleted; globex remains
+    assert [r["target"] for r in rels] == ["globex"]
+
+
+def test_metric_refresh_populates_cached_columns(spark):
+    ext = ScriptedExtractor(
+        [
+            {"facts": ["a knows b"],
+             "entities": [{"name": "a", "entity_type": "person"},
+                          {"name": "b", "entity_type": "person"}],
+             "relations": [{"source": "a", "target": "b",
+                            "relation_type": "knows"}]},
+        ]
+    )
+    eng = MemoryEngine(spark, extractor=ext, now_fn=tick)
+    eng.add("a knows b", user_id="u")
+    assert eng._graph_dirty
+    eng.refresh_metrics(with_betweenness=False, pagerank_iter=10)
+    assert not eng._graph_dirty
+    row = eng.store.memories.collect()[0]
+    assert row["_pagerank"] is not None and row["_pagerank"] > 0
+    assert row["_community"] is not None
