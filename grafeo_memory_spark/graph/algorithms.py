@@ -4,8 +4,8 @@ reference delegates to its engine at `protocol.py:39-43`, consumed by
 
 Spark has no Python GraphX API, so these implement the
 aggregateMessages pattern directly on DataFrames — the same formulation
-GraphFrames uses. Each iteration is one join + one aggregation;
-`localCheckpoint()` every few rounds truncates the lineage so plans
+GraphFrames uses. Each iteration is one join + one aggregation; an eager
+`localCheckpoint()` every round truncates the lineage so plans
 don't grow unboundedly (SURVEY §4 physical note). All loops are
 driver-controlled with convergence checks — iterative fixpoints are
 inherently outside Catalyst.
@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "label_propagation", "betweenness_centrality"]
 
-CHECKPOINT_EVERY = 5
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -49,10 +48,14 @@ def pagerank(
     (`protocol.py:39-41`).
 
     Per iteration: one shuffle for the message aggregation (groupBy dst)
-    plus a broadcast of the dangling-mass scalar. Convergence = L1
-    delta < tol (an action per iteration — unavoidable for a
-    driver-controlled fixpoint). Dangling-node mass is redistributed
-    uniformly, the standard treatment.
+    and exactly two driver jobs — an eager ``localCheckpoint`` of the
+    new ranks (truncates lineage, so per-iteration cost stays constant)
+    and ONE combined aggregation that returns both the L1 convergence
+    delta and the next iteration's dangling mass (piggybacked: the
+    dangling mass of iteration ``i+1`` is a sum over the ranks just
+    produced by iteration ``i``, so it rides the delta job for free).
+    Dangling-node mass is redistributed uniformly, the standard
+    treatment.
     """
     verts = (
         edges.select(F.col("src").alias("node_id"))
@@ -66,13 +69,32 @@ def pagerank(
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     links = edges.select("src", "dst").join(out_deg, "src").localCheckpoint()
+    # dangling flag rides along the rank rows so the per-iteration stats
+    # job needs no extra join against the degree table
+    verts = (
+        verts.join(
+            out_deg.select(F.col("src").alias("node_id")).withColumn(
+                "_out", F.lit(1)
+            ),
+            "node_id",
+            "left",
+        )
+        .select("node_id", F.col("_out").isNull().alias("is_dangling"))
+        .localCheckpoint()
+    )
 
     ranks = verts.withColumn("pagerank", F.lit(1.0 / n))
+    n_dangling = (
+        verts.agg(F.sum(F.when(F.col("is_dangling"), 1).otherwise(0)))
+        .collect()[0][0]
+        or 0
+    )
+    dangling = n_dangling / float(n)  # uniform init: each rank is 1/n
     base = (1.0 - damping) / n
-    for i in range(max_iter):
+    for _ in range(max_iter):
         contrib = (
             links.join(
-                ranks.withColumnRenamed("node_id", "src"), "src"
+                ranks.select(F.col("node_id").alias("src"), "pagerank"), "src"
             )
             .select(
                 F.col("dst").alias("node_id"),
@@ -81,36 +103,34 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(
-                out_deg.withColumnRenamed("src", "node_id"), "node_id", "left_anti"
-            )
-            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         new_ranks = (
             verts.join(contrib, "node_id", "left")
             .select(
                 "node_id",
+                "is_dangling",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("pagerank"),
             )
+            .localCheckpoint()
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint()
-        delta = (
-            new_ranks.withColumnRenamed("pagerank", "pr_new")
-            .join(ranks, "node_id")
-            .agg(F.sum(F.abs(F.col("pr_new") - F.col("pagerank"))))
-            .collect()[0][0]
+        delta, dangling = (
+            new_ranks.select("node_id", "is_dangling", F.col("pagerank").alias("pr_new"))
+            .join(ranks.select("node_id", "pagerank"), "node_id")
+            .agg(
+                F.sum(F.abs(F.col("pr_new") - F.col("pagerank"))),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("pr_new"))), F.lit(0.0)
+                ),
+            )
+            .collect()[0]
         )
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
-    return ranks
+    return ranks.select("node_id", "pagerank")
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -130,7 +150,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("community", F.col("node_id"))
         .localCheckpoint()
     )
-    for i in range(max_iter):
+    for _ in range(max_iter):
         nbr_labels = (
             und.join(labels.withColumnRenamed("node_id", "dst"), "dst")
             .groupBy(F.col("src").alias("node_id"), "community")
@@ -144,15 +164,20 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .where(F.col("_rn") == 1)
             .select("node_id", "community")
         )
-        # isolated nodes keep their own label
-        new_labels = labels.select("node_id").join(
-            new_labels, "node_id", "left"
-        ).select(
-            "node_id",
-            F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
+        # isolated nodes keep their own label. Eager checkpoint every
+        # round: new_labels feeds both the changed-count job and the
+        # next iteration, and truncated lineage keeps per-iteration cost
+        # constant instead of re-executing prior rounds inside each
+        # action.
+        new_labels = (
+            labels.select("node_id")
+            .join(new_labels, "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
+            )
+            .localCheckpoint()
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.withColumnRenamed("community", "c_new")
             .join(labels, "node_id")
