@@ -68,7 +68,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (array<string>).
     Documents shorter than n words yield their full text as the single
-    shingle, so every doc has ≥1."""
+    shingle, so every non-blank doc has ≥1; empty/whitespace-only docs
+    yield none (they carry no shingle signal and drop out of the
+    sketch joins — compare them via content_hash instead)."""
     c = normalize_text(col)
     toks = F.split(c, " ")
     grams = F.transform(

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grafeo_memory_spark.graph.algorithms import label_propagation, pagerank
+from grafeo_memory_spark.graph.algorithms import (
+    betweenness_centrality,
+    label_propagation,
+    pagerank,
+)
 from grafeo_memory_spark.queries import query
 from grafeo_memory_spark.sources.tables import load_fixture
 
@@ -47,4 +51,31 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .where(F.col("n_members") >= 2)
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
+    )
+
+
+@query("betweenness_sampled")  # iterative multi-source BFS — rows-only check
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — Brandes betweenness centrality feeding the R7 cross-session
+    boost (reference `manager.py:1624-1631`,
+    `betweenness_centrality(normalized=True)`). Source-sampled (the
+    documented scale approximation, SURVEY §2.10): a fixed deterministic
+    sample of 64 source vertices, all sources BFS'd concurrently in one
+    depth-keyed frontier. Top-25 central entities."""
+    edges = load_fixture(spark, sf_dir, "edges").where(
+        F.col("edge_type") == "RELATION"
+    )
+    srcs = [
+        int(r[0])
+        for r in edges.select(F.col("src"))
+        .distinct()
+        .orderBy("src")
+        .limit(64)
+        .collect()
+    ]
+    bc = betweenness_centrality(edges, sources=srcs, max_depth=6)
+    return (
+        bc.select("node_id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), F.col("node_id").asc())
+        .limit(25)
     )
