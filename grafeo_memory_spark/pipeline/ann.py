@@ -32,6 +32,9 @@ __all__ = [
     "hyperplane_signature",
     "ann_lsh_join",
     "planes_sql_literal",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -98,4 +101,96 @@ def ann_lsh_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "id", "sim", "rank")
+    )
+
+
+def ivf_centroids(
+    table: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse-quantizer codebook: ``n_centroids`` deterministic seed
+    vectors (the lowest-id rows — reproducible without RNG state; a
+    production build would run a few Lloyd iterations from these seeds,
+    which refines recall but not the plan shape). Driver-sized: the
+    codebook is ≤ a few thousand small vectors by design."""
+    rows = (
+        table.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    table: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every row to its nearest (max-cosine) centroid — the IVF
+    inverted-list build. The codebook broadcasts as a Column literal;
+    the argmax folds inside codegen, so the build is one scan, no
+    shuffle. Output (id, v, centroid_id).
+
+    At deployment scale, write the result partitioned/bucketed by
+    ``centroid_id``: probing then prunes whole files per list.
+    """
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("sim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    best = F.array_max(sims)  # struct compare: sim first, cid tie-break
+    return table.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        best["cid"].alias("centroid_id"),
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side (the
+    codebook is driver-sized), keep ``nprobe`` inverted lists, exact
+    cosine re-rank only inside them. Output (id, sim).
+
+    The centroid filter is a pushdown-friendly IN-list — over a
+    centroid-partitioned table it prunes partitions at the file level,
+    which is what makes IVF the 10⁹-vector path: cost is
+    |table|·nprobe/n_centroids instead of |table|.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na == 0 or nb == 0 else dp / (na * nb)
+
+    ranked = sorted(
+        centroids, key=lambda c: (-cos(query_vec, c[1]), c[0])
+    )[:nprobe]
+    probe_ids = [cid for cid, _ in ranked]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("centroid_id").isin(probe_ids))
+        .select("id", cosine_similarity(F.col("v"), qv).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
     )

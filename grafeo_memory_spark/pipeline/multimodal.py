@@ -106,6 +106,101 @@ def decode_images(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: truncate/pad the payload to a
+    size proportional to the target area — stable, size-monotonic, and
+    library-free. A real kernel decodes, resamples, re-encodes."""
+    if payload is None:
+        return b""
+    target = max(1, (width * height) // 8)
+    return (payload * (target // max(1, len(payload)) + 1))[:target]
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    *,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image assets → fixed-dimension payloads (training-shard prep).
+    Same mapInPandas contract as decode_images; the kernel slot takes
+    (payload, width, height) → bytes."""
+    resize = resize or fake_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [resize(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.where(assets.kind == "image").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+def fake_audio_features(
+    payload: bytes, dims: int = 8
+) -> tuple[int, list[float]]:
+    """Deterministic audio stand-in: bytes → pseudo duration + stable
+    feature vector (a real kernel runs an STFT/mel pipeline)."""
+    if payload is None:
+        return 0, [0.0] * dims
+    digest = hashlib.sha256(b"audio" + payload).digest()
+    duration_ms = len(payload) * 1000 // 16  # fake 16 bytes/ms rate
+    feats = [digest[i] / 255.0 for i in range(dims)]
+    return duration_ms, feats
+
+
+def audio_features(
+    assets: DataFrame,
+    *,
+    dims: int = 8,
+    extract: Callable[[bytes, int], tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Audio assets → (asset_id, duration_ms, features) via Arrow-batched
+    mapInPandas, mirroring decode_images for the audio modality."""
+    extract = extract or fake_audio_features
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [extract(p, dims) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "duration_ms": [r[0] for r in rows],
+                    "features": [r[1] for r in rows],
+                }
+            )
+
+    return assets.where(assets.kind == "audio").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_frames(
     assets: DataFrame, every_nth: int = 10, max_frames: int = 4
 ) -> DataFrame:

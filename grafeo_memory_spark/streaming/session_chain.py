@@ -125,6 +125,115 @@ def run_session_chain_stream(
     return sink
 
 
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts", T.LongType(), False),
+        T.StructField("last_event_id", T.LongType(), False),
+    ]
+)
+
+SESSION_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts", T.LongType(), False),
+        T.StructField("last_event_id", T.LongType(), False),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+
+def stateful_session_summaries(
+    events: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """T1/T2 as a *custom stateful operator*: per-(user, session) running
+    summaries via ``applyInPandasWithState`` — the Arrow-batched state
+    API for semantics the built-in windows can't express (a running
+    per-key event count with a session pointer that must survive across
+    micro-batches, the streaming form of the reference's per-session
+    tail at `manager.py:1191-1209`).
+
+    Each invocation folds the batch's events into the key's state and
+    emits a summary row. ``timeout_ms`` (continuous deployments only)
+    closes idle sessions via a processing-time timeout — emits
+    ``closed=true`` and drops the state, bounding state size. Leave it
+    ``None`` for availableNow/backfill runs: a registered
+    processing-time timeout keeps scheduling micro-batches to evaluate
+    expirations, so the availableNow trigger would never terminate.
+
+    Works only under Structured Streaming (state requires a streaming
+    query); the per-batch logic is plain pandas and unit-testable via
+    ``_fold_session_batch``.
+    """
+    import pandas as pd  # noqa: F401  (signature requirement)
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, last_ts, last_id = state.get
+            state.remove()
+            yield _summary_pdf(key, n, last_ts, last_id, closed=True)
+            return
+        n, last_ts, last_id = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n, last_ts, last_id = _fold_session_batch(
+                pdf, n, last_ts, last_id
+            )
+        state.update((n, last_ts, last_id))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield _summary_pdf(key, n, last_ts, last_id, closed=False)
+
+    return events.groupBy("user_id", "session_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SUMMARY_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def _fold_session_batch(pdf, n: int, last_ts: int, last_id: int):
+    """Fold one Arrow batch of a session's events into (n, last_ts,
+    last_event_id) — ordered by (ts, event_id), reference tie-break."""
+    if len(pdf) == 0:
+        return n, last_ts, last_id
+    ordered = pdf.sort_values(["ts", "event_id"])
+    tail = ordered.iloc[-1]
+    return (
+        n + len(pdf),
+        int(tail["ts"]),
+        int(tail["event_id"]),
+    )
+
+
+def _summary_pdf(key, n, last_ts, last_id, *, closed):
+    import pandas as pd
+
+    user_id, session_id = key
+    return pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "session_id": session_id,
+                "n_events": n,
+                "last_ts": last_ts,
+                "last_event_id": last_id,
+                "closed": closed,
+            }
+        ]
+    )
+
+
 def windowed_event_counts(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
     """Watermarked tumbling-window rollup (late-data guard pattern):
     events per user per hour, 10-minute watermark. Works on both batch

@@ -182,3 +182,70 @@ def test_multimodal_decode_plumbing(spark):
     assert {r["asset_id"] for r in frames} == {3}
     assert [r["frame_index"] for r in frames] == [0, 1, 2, 3]
     assert all(len(r["frame_payload"]) > 0 for r in frames)
+
+
+def test_multimodal_resize_and_audio(spark):
+    from grafeo_memory_spark.pipeline.multimodal import (
+        audio_features,
+        fake_audio_features,
+        fake_resize,
+        resize_images,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"imagebytes-1"), None),
+            (2, "audio", bytearray(b"a" * 160), None),
+            (3, "video", bytearray(b"v" * 100), None),
+        ],
+        ASSET_SCHEMA,
+    )
+    resized = resize_images(assets, 16, 16).collect()
+    assert [r["asset_id"] for r in resized] == [1]
+    assert (resized[0]["width"], resized[0]["height"]) == (16, 16)
+    assert bytes(resized[0]["payload"]) == fake_resize(b"imagebytes-1", 16, 16)
+    # size scales with target area (the contract a real kernel keeps)
+    assert len(fake_resize(b"xyz", 32, 32)) > len(fake_resize(b"xyz", 8, 8))
+
+    au = audio_features(assets, dims=8).collect()
+    assert [r["asset_id"] for r in au] == [2]
+    dur, feats = fake_audio_features(b"a" * 160, 8)
+    assert au[0]["duration_ms"] == dur == 10_000
+    assert au[0]["features"] == pytest.approx(feats)
+
+
+def test_ivf_assign_and_probe_recall(spark):
+    from grafeo_memory_spark.pipeline.ann import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    # three well-separated clusters on coordinate axes; ids 0/1/2 (the
+    # deterministic codebook seeds) are one exemplar per cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    for i in range(1, 10):
+        rows.append((10 + i, [1.0, 0.01 * i, 0.0, 0.0]))     # cluster x
+        rows.append((100 + i, [0.0, 1.0, 0.01 * i, 0.0]))    # cluster y
+        rows.append((200 + i, [0.0, 0.0, 1.0, 0.01 * i]))    # cluster z
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = ivf_centroids(emb, 3)
+    assert [c[0] for c in cents] == [0, 1, 2]
+    assigned = ivf_assign(emb, cents)
+    # every row lands in exactly one inverted list, clusters intact
+    assert assigned.count() == 30
+    by_c = {r["id"]: r["centroid_id"] for r in assigned.collect()}
+    assert {by_c[10 + i] for i in range(1, 10)} == {by_c[0]}
+    assert {by_c[100 + i] for i in range(1, 10)} == {by_c[1]}
+    assert {by_c[200 + i] for i in range(1, 10)} == {by_c[2]}
+
+    got = ivf_topk(assigned, cents, [0.0, 1.0, 0.0, 0.0], k=5, nprobe=1)
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 5
+    assert all(i == 1 or 100 <= i < 200 for i in ids)  # only y-list probed
+    assert ids[0] == 1  # exact match (the y seed itself) first

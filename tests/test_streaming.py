@@ -79,3 +79,61 @@ def test_windowed_counts_watermark(spark):
            for r in windowed_event_counts(ev).collect()}
     counts = sorted(r[2] for r in out)
     assert counts == [1, 1, 2]
+
+
+def test_fold_session_batch_pure():
+    import pandas as pd
+
+    from grafeo_memory_spark.streaming.session_chain import (
+        _fold_session_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {"event_id": [3, 1, 2], "ts": [T0 + 30, T0 + 10, T0 + 30]}
+    )
+    n, last_ts, last_id = _fold_session_batch(pdf, 5, T0, 0)
+    assert n == 8
+    assert last_ts == T0 + 30
+    assert last_id == 3  # (ts, event_id) tie-break: 3 beats 2 at same ts
+    # empty batch is a no-op
+    assert _fold_session_batch(pdf.iloc[0:0], 8, last_ts, last_id) == (
+        8, last_ts, last_id,
+    )
+
+
+def test_stateful_session_summaries_stream(spark, tmp_path):
+    from grafeo_memory_spark.streaming.session_chain import (
+        read_event_stream,
+        stateful_session_summaries,
+    )
+
+    src = tmp_path / "events"
+    os.makedirs(src)
+    _events(
+        spark,
+        [
+            (1, T0 + 10, "u", "s1"),
+            (2, T0 + 20, "u", "s1"),
+            (3, T0 + 15, "u", "s2"),
+        ],
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = stateful_session_summaries(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_summaries")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_id"]): r
+        for r in spark.sql("select * from session_summaries").collect()
+    }
+    assert rows[("u", "s1")]["n_events"] == 2
+    assert rows[("u", "s1")]["last_event_id"] == 2
+    assert rows[("u", "s2")]["n_events"] == 1
+    assert rows[("u", "s2")]["last_ts"] == T0 + 15
+    assert not rows[("u", "s1")]["closed"]
