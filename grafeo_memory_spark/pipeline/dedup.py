@@ -238,17 +238,30 @@ def jaccard_similarity_join(
     *before* pairing — the skew guard that makes this viable at scale
     (hot boilerplate shingles generate quadratic pairs and add almost
     no signal).
+
+    The inverted index ``sh`` feeds BOTH self-join sides and the size
+    aggregate (a diamond plan); it is materialized once via
+    ``localCheckpoint`` so the shingle/md5 scan runs once, not 3-6× —
+    at deployment scale this is the "build the index, then join it"
+    structure you'd persist to a table anyway.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
     if df_cap is not None:
-        hot = sh.groupBy("shingle").agg(F.countDistinct("id").alias("_df"))
-        sh = sh.join(
-            F.broadcast(hot.where(F.col("_df") <= df_cap).select("shingle")),
-            "shingle",
+        # anti-join against the HOT set (shingles in > df_cap docs) —
+        # small by construction, so it broadcasts; the keep-set is
+        # nearly all shingles and must never be the broadcast side
+        sh = sh.localCheckpoint()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))  # shingles are distinct/doc
+            .where(F.col("_df") > df_cap)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.withColumnRenamed("id", "id_a")
