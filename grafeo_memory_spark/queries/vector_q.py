@@ -6,7 +6,7 @@ and available to both Spark and the DuckDB oracle without a side channel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grafeo_memory_spark.functions.vector import cosine_similarity
@@ -81,3 +81,99 @@ def similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("sim") >= 0.3).orderBy(F.col("vec_id").asc())
+
+
+_DUCK_COS_EC = (
+    "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_DUCK_COS_CQ = (
+    "list_dot_product(c.cv, q.qv)"
+    " / (sqrt(list_dot_product(c.cv, c.cv))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               max({_DUCK_COS_EC}) OVER w AS best,
+               {_DUCK_COS_EC} AS sim
+        FROM embeddings e CROSS JOIN cent c
+        WINDOW w AS (PARTITION BY e.vec_id)
+      ) WHERE sim = best
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cid DESC) = 1
+    ), probes AS (
+      SELECT cid FROM cent c, q
+      ORDER BY {_DUCK_COS_CQ} DESC, cid ASC LIMIT 2
+    )
+    SELECT e.vec_id, round({_DUCK_COS}, 6) AS sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probes p ON a.cid = p.cid, q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path as a graded query (builder brief: "IVF or LSH
+    variant as the scale path"; companion to `ann_lsh_topk`): an
+    8-entry deterministic codebook (lowest-vec_id rows), every vector
+    assigned to its max-cosine centroid via a broadcast join +
+    map-side `max(struct(sim, cid))` partial aggregation (one scan, one
+    narrow shuffle on vec_id), then nprobe=2 inverted lists exactly
+    re-ranked against the query. Cost scales as |table|·nprobe/n_cent
+    once the lists are partition-pruned (see pipeline/ann.py ivf_*
+    for the literal-codebook codegen variant of the same operator).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct(
+                cosine_similarity("embedding", "cv").alias("sim"),
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc")["cid"].alias("cid"))
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(_query_row(emb)))
+        .select("cid", cosine_similarity("cv", "qv").alias("qsim"))
+        .orderBy(F.col("qsim").desc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(_query_row(emb)))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
