@@ -74,6 +74,10 @@ def drop_newest(
     ``tiebreak`` makes the ordering total (pass a unique id for
     deterministic results).
     """
+    if preserve_recent <= 0:
+        # nothing preserved: the slice is the whole input (a LIMIT 0
+        # boundary would aggregate to NULL and wrongly drop every row)
+        return df.orderBy(F.col(ts_col).asc())
     key_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     order = [c.desc() for c in key_cols]
     boundary = (

@@ -197,3 +197,58 @@ def test_search_min_score_and_chrono(spark):
     rows = out.collect()
     assert "temporal_sort" in eng2.explain()
     assert [r["text"] for r in rows] == ["first event", "second event"]
+
+
+def test_summarize_topology_protection(spark):
+    """Well-connected memories (R4 topology >= threshold) survive
+    consolidation (reference manager.py:1863-1873)."""
+    eng = MemoryEngine(spark, now_fn=tick)
+    shared = {
+        "facts": ["hub fact"],
+        "entities": [
+            {"name": "E1", "entity_type": "t"},
+            {"name": "E2", "entity_type": "t"},
+        ],
+        "relations": [],
+    }
+    eng_ext = ScriptedExtractor(outputs=[dict(shared), dict(shared)])
+    eng.extractor = eng_ext
+    eng.add("hub fact", user_id="u")          # entities E1,E2
+    eng.add("hub fact two", user_id="u")      # same entities → shared
+    eng.extractor = ScriptedExtractor(outputs=[])  # plain adds below
+    for i in range(3):
+        eng.add(f"leaf fact {i}", user_id="u", infer=False)
+
+    before = {r["id"]: r["text"] for r in eng.store.memories.collect()}
+    hub_ids = [i for i, t in before.items() if t.startswith("hub")]
+    # preserve_recent=0: every memory is a candidate; topology protects
+    # the two hub memories (entity_count 2, shared_ratio 1 → R4 > 0.5)
+    sids = eng.summarize(
+        user_id="u", preserve_recent=0, topology_protect_threshold=0.5
+    )
+    assert sids  # leaves were consolidated
+    left = {r["id"] for r in eng.store.memories.collect()}
+    assert set(hub_ids) <= left  # hubs survived
+    assert not any(t.startswith("leaf") for t in (
+        r["text"] for r in eng.store.memories.collect()
+    ))
+    derived = eng.store.edges.where(F.col("edge_type") == "DERIVED_FROM")
+    assert derived.count() == 3  # one lineage edge per consumed leaf
+
+
+def test_reranker_failure_falls_back(spark):
+    """R9 — a throwing reranker degrades to the original order
+    (reference reranker.py:50-124 error fallback)."""
+
+    class Boom:
+        def rerank(self, query, results, top_k):
+            raise RuntimeError("llm down")
+
+    eng = MemoryEngine(spark, now_fn=tick, reranker=Boom())
+    eng.add("aaa", user_id="u", infer=False)
+    eng.add("bbb", user_id="u", infer=False)
+    got = eng.search("aaa", user_id="u", k=2).collect()
+    assert len(got) == 2
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)  # original order kept
+    assert "rerank" in eng.explain()

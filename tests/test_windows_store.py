@@ -119,3 +119,9 @@ def test_empty_store_schemas(spark):
     s = empty_store(spark)
     for df in (s.memories, s.entities, s.edges, s.episodes, s.history):
         assert df.count() == 0
+
+
+def test_drop_newest_zero_preserves_nothing(scored):
+    # preserve_recent=0 → the slice is everything, oldest first
+    got = [r["id"] for r in drop_newest(scored, 0, tiebreak="id").collect()]
+    assert got == [1, 4, 2, 5, 3]
