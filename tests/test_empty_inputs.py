@@ -1,0 +1,69 @@
+"""Empty-input robustness: every operator must return an empty (or
+identity) result on empty tables rather than erroring — the fresh-store
+bootstrap path (S1) exercises all of these on first use."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.graph.algorithms import (
+    betweenness_centrality,
+    label_propagation,
+    pagerank,
+)
+from grafeo_memory_spark.operators.traversals import (
+    expand_chain,
+    relation_triples,
+    topology_aggregate,
+)
+from grafeo_memory_spark.operators.windows import drop_newest
+from grafeo_memory_spark.store import empty_store
+
+EDGE_SCHEMA = (
+    "edge_id long, src long, dst long, edge_type string, relation_type string"
+)
+
+
+def test_graph_algorithms_on_empty_graph(spark):
+    edges = spark.createDataFrame([], EDGE_SCHEMA)
+    assert pagerank(edges, max_iter=3).count() == 0
+    assert label_propagation(edges, max_iter=3).count() == 0
+    assert betweenness_centrality(edges).count() == 0
+
+
+def test_traversals_on_empty_store(spark):
+    s = empty_store(spark)
+    assert relation_triples(s.edges, s.entities).count() == 0
+    assert topology_aggregate(s.memories, s.edges).count() == 0
+    seed = spark.createDataFrame([(1,)], "node_id long")
+    assert expand_chain(s.edges, seed, "LEADS_TO", max_depth=3).count() == 0
+
+
+def test_drop_newest_empty(spark):
+    df = spark.createDataFrame([], "id long, created_at long")
+    assert drop_newest(df, 5, tiebreak="id").count() == 0
+    assert drop_newest(df, 0, tiebreak="id").count() == 0
+
+
+def test_search_on_fresh_store(spark):
+    from grafeo_memory_spark.manager import MemoryEngine
+
+    eng = MemoryEngine(spark, now_fn=lambda: 1_000_000)
+    got = eng.search("anything", user_id="nobody").collect()
+    assert got == []
+    assert eng.stats()["total_memories"] == 0
+
+
+def test_dedup_ops_on_empty_documents(spark):
+    from grafeo_memory_spark.pipeline.dedup import (
+        exact_dedup,
+        jaccard_similarity_join,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs, "text", "doc_id").count() == 0
+    assert minhash_signature(docs, "text", "doc_id").count() == 0
+    assert (
+        jaccard_similarity_join(docs, "text", "doc_id", df_cap=64).count() == 0
+    )
