@@ -425,6 +425,13 @@ class MemoryEngine:
             if query is None:
                 raise ValueError("need query text or query_vec")
             query_vec = self.embedder.embed([query])[0]
+        elif len(query_vec) != self.embedder.dimensions:
+            # reference surfaces dimension mismatches as errors rather
+            # than silently zip-truncating the cosine fold
+            raise ValueError(
+                f"query_vec has {len(query_vec)} dims, store embeddings "
+                f"have {self.embedder.dimensions}"
+            )
         if self.enable_graph_algorithms and self._graph_dirty:
             self.refresh_metrics()
         req_kw: dict[str, Any] = dict(kw)

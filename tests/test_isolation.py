@@ -131,3 +131,9 @@ def test_min_score_config_gate(spark):
     # with default weights the composite < 1, so the 0.999 gate may cut
     # everything — the invariant is: no result below the gate
     assert all(r["score"] >= 0.999 for r in got)
+
+
+def test_search_dimension_mismatch_raises(engine):
+    engine.add("something", user_id="u", infer=False)
+    with pytest.raises(ValueError, match="dims"):
+        engine.search(query_vec=[1.0, 0.0], user_id="u")  # embedder is 16-d
