@@ -157,3 +157,29 @@ def save_store(store: Store, path: str) -> None:
         getattr(store, name).write.mode("overwrite").parquet(
             os.path.join(path, f"{name}.parquet")
         )
+
+
+def save_edges_bucketed(
+    store: Store, table_name: str, n_buckets: int = 64, path: str | None = None
+) -> None:
+    """The co-located traversal-join layout (SURVEY §1.4 scale note):
+    persist `edges` hash-bucketed AND sorted by ``src``. Two tables
+    bucketed the same way join WITHOUT exchanging the big side — each
+    traversal hop (J1/J2/J10/J11) becomes a zero-shuffle sort-merge
+    join per bucket pair, the difference between one network pass and
+    none at 100 TB. Requires a catalog table (bucket metadata lives
+    there, not in parquet), hence saveAsTable instead of a bare path.
+
+    Reads come back via ``spark.table(table_name)``; Spark applies the
+    bucket spec automatically when both join sides share it and
+    ``spark.sql.sources.bucketing.enabled`` is on (default).
+    """
+    w = (
+        store.edges.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -125,3 +125,42 @@ def test_drop_newest_zero_preserves_nothing(scored):
     # preserve_recent=0 → the slice is everything, oldest first
     got = [r["id"] for r in drop_newest(scored, 0, tiebreak="id").collect()]
     assert got == [1, 4, 2, 5, 3]
+
+
+def test_bucketed_edges_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on src join with no Exchange on either side
+    — the co-located traversal-join layout for scale."""
+    from grafeo_memory_spark.store import save_edges_bucketed
+
+    s = empty_store(spark)
+    edges = spark.createDataFrame(
+        [(i, i % 50, 1000 + i, "HAS_ENTITY", None, None) for i in range(500)],
+        s.edges.schema,
+    )
+    st = Store(
+        memories=s.memories, entities=s.entities, edges=edges,
+        episodes=s.episodes, history=s.history,
+    )
+    save_edges_bucketed(
+        st, "edges_bucketed_test", n_buckets=8,
+        path=str(tmp_path / "edges_bucketed"),
+    )
+    try:
+        t = spark.table("edges_bucketed_test")
+        joined = (
+            t.alias("a")
+            .join(t.alias("b"), F.col("a.src") == F.col("b.src"))
+            .where(F.col("a.edge_id") < F.col("b.edge_id"))
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        # bucketed-on-src both sides: the join needs no shuffle stage
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
