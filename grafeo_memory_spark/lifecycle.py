@@ -195,7 +195,10 @@ def execute_decisions(
             )
             next_edge_id += 1
             inherit.append((mid, old_id))
-            _hist(old_id, UPDATE, old_text.get(old_id), d.text)
+            # history rides the NEW memory id (reference manager.py:978
+            # records UPDATE under new_memory_id with the old text), so
+            # engine.history(new_id) shows the supersede event.
+            _hist(mid, UPDATE, old_text.get(old_id), d.text)
             res.updated_ids.append(mid)
             res.expired_ids.append(old_id)
         elif d.action == DELETE:
@@ -208,8 +211,16 @@ def execute_decisions(
     edges = store.edges
 
     if expire:
+        # A batch may target the same id twice (e.g. an LLM reconciler
+        # emitting UPDATE+DELETE for one memory). The reference applies
+        # them sequentially and idempotently (set_node_property); keep
+        # the LAST write per id so the left join below stays 1:1 and the
+        # store's id-uniqueness invariant holds.
+        last_per_id: dict[int, int | None] = {}
+        for i, inv in expire:
+            last_per_id[i] = inv
         upd = spark.createDataFrame(
-            [(i, now_ms, inv) for i, inv in expire],
+            [(i, now_ms, inv) for i, inv in last_per_id.items()],
             "id long, _new_expired long, _new_invalid long",
         )
         memories = (
@@ -234,15 +245,40 @@ def execute_decisions(
                 "sequence",
             )
         )
-        # fresh edge ids after the driver-known watermark; the global
-        # window is fine here — inherited edges ≤ a few per decision
-        inherited = inherited.withColumn(
-            "edge_id",
-            F.lit(next_edge_id)
-            + F.row_number().over(Window.orderBy("src", "dst"))
-            - 1,
-        ).select([f.name for f in EDGE_SCHEMA.fields])
-        n_inh = inherited.count()
+        # fresh edge ids after the driver-known watermark, assigned
+        # WITHOUT a global window (which would funnel all rows through
+        # one task): hash-bucket on the deterministic (src, dst) key,
+        # count per bucket (this is also the n_inh action), then
+        # row_number within each bucket + a broadcast per-bucket offset.
+        # Deterministic under recomputation (bucket = pmod(hash), not
+        # spark_partition_id) and parallel across _ID_BUCKETS tasks.
+        _ID_BUCKETS = 32
+        bucketed = inherited.withColumn(
+            "_b", F.pmod(F.hash("src", "dst"), F.lit(_ID_BUCKETS))
+        )
+        counts = {
+            r["_b"]: r["n"]
+            for r in bucketed.groupBy("_b").agg(F.count("*").alias("n")).collect()
+        }
+        n_inh = sum(counts.values())
+        offs, acc = [], 0
+        for b in sorted(counts):
+            offs.append((b, acc))
+            acc += counts[b]
+        off_df = spark.createDataFrame(offs or [(0, 0)], "_b int, _off long")
+        inherited = (
+            bucketed.join(F.broadcast(off_df), "_b")
+            .withColumn(
+                "edge_id",
+                F.lit(next_edge_id)
+                + F.col("_off")
+                + F.row_number().over(
+                    Window.partitionBy("_b").orderBy("src", "dst")
+                )
+                - 1,
+            )
+            .select([f.name for f in EDGE_SCHEMA.fields])
+        )
         next_edge_id += n_inh
         edges = edges.unionByName(inherited)
 

@@ -437,7 +437,13 @@ class MemoryEngine:
         req_kw: dict[str, Any] = dict(kw)
         if query is not None:
             hints = classify_temporal(query)
-            req_kw.setdefault("include_expired", hints.include_expired)
+            # the reference ORs the past-state hint into the caller's
+            # flag (manager.py:553-560): "where did I previously live"
+            # searches expired rows even when include_expired=False was
+            # passed explicitly. Other hints stay caller-wins.
+            req_kw["include_expired"] = (
+                kw.get("include_expired", False) or hints.include_expired
+            )
             req_kw.setdefault("sort_chronologically", hints.sort_chronologically)
             req_kw.setdefault("expand_limit", hints.expand_limit)
             if hints.point_in_time_hint is not None:

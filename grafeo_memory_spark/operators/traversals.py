@@ -162,6 +162,12 @@ def expand_chain(
     keeps the loop short; the frontier is tiny and broadcast each hop.
 
     Returns (node_id, depth) for reached nodes, depth ∈ [1, max_depth].
+
+    Each hop eagerly checkpoints the (tiny) frontier and breaks as soon
+    as it empties — a depth-10 call over a 2-hop chain runs 2 joins, not
+    10 (the same early-exit `betweenness_centrality` uses). The
+    checkpoint also keeps lineage flat, so deep chains don't build a
+    max_depth-deep join tree for the final aggregate to re-derive.
     """
     e = edges_of_type(edges, edge_type)
     step = (
@@ -176,11 +182,18 @@ def expand_chain(
             step.join(F.broadcast(frontier), "node_id")
             .select(F.col("next_id").alias("node_id"))
             .distinct()
-        )
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
         hop = nxt.withColumn("depth", F.lit(depth))
         reached = hop if reached is None else reached.unionByName(hop)
         frontier = nxt
-    assert reached is not None
+    if reached is None:
+        return (
+            seed.select("node_id")
+            .withColumn("depth", F.lit(1))
+            .limit(0)
+        )
     # first-visit depth wins (seen-set: a node found at depth 2 is not
     # re-emitted at depth 4 when chains reconverge)
     return reached.groupBy("node_id").agg(F.min("depth").alias("depth"))

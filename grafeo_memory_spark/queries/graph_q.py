@@ -557,7 +557,7 @@ def q_property_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT coalesce(memory_type, 'semantic') AS memory_type,
            count(*) AS n,
-           sum(CASE WHEN expired_at IS NULL THEN 1 ELSE 0 END) AS n_active
+           CAST(sum(CASE WHEN expired_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active
     FROM {_MEM}
     GROUP BY coalesce(memory_type, 'semantic')
     ORDER BY memory_type
