@@ -1,0 +1,267 @@
+"""J15 write side — community materialization lifecycle (reference
+`communities.py:32-230`): turn a detected partition (G3 LPA/Louvain
+output) into Community nodes + HAS_MEMBER edges, skip summary
+regeneration when membership is unchanged (O7, reference
+`communities.py:87-103`), and dissolve communities that disappeared
+(`communities.py:194-198`).
+
+Spark shape: detection and membership sets stay DataFrame-side; only the
+per-community summary generation runs on the driver, because it is a
+policy (LLM) call per community — exactly the reference's loop. The
+number of *changed* communities bounds the driver work, not the number
+of entities: the membership-unchanged skip is computed as a DataFrame
+anti-comparison first, so an incremental run over a mostly-stable graph
+collects only the delta.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.store import COMMUNITY_SCHEMA, EDGE_SCHEMA, Store
+
+#: policy: (member_names, relation_texts) -> (name, summary)
+Summarizer = Callable[[list[str], list[str]], tuple[str, str]]
+
+
+def default_summarizer(members: list[str], relations: list[str]) -> tuple[str, str]:
+    """Deterministic stand-in for the reference's LLM summary agent
+    (`communities.py:126-131`): stable name + member digest."""
+    head = sorted(members)[:3]
+    return (
+        "community of " + ", ".join(head),
+        f"cluster of {len(members)} entities: " + ", ".join(sorted(members)),
+    )
+
+
+def _user_members(
+    store: Store, partitions: DataFrame, user_id: str
+) -> DataFrame:
+    """(community, entity_id, name) for this user's entities, communities
+    with ≥2 user members only (reference threshold,
+    `communities.py:80-81`)."""
+    ent = store.entities.where(F.col("user_id") == user_id).select(
+        F.col("id").alias("entity_id"), F.col("name")
+    )
+    memb = partitions.select(
+        F.col("node_id").alias("entity_id"),
+        F.col("community").cast("int").alias("community"),
+    ).join(ent, "entity_id")
+    sizes = memb.groupBy("community").agg(F.count("*").alias("_n"))
+    return memb.join(sizes.where(F.col("_n") >= 2), "community").drop("_n")
+
+
+def materialize_communities(
+    store: Store,
+    partitions: DataFrame,
+    *,
+    user_id: str,
+    now_ms: int,
+    next_node_id: int,
+    next_edge_id: int,
+    summarizer: Summarizer | None = None,
+    usage_callback=None,
+) -> tuple[Store, list[dict[str, Any]], int, int]:
+    """Create/update Community nodes from a (node_id, community)
+    partition DataFrame; returns (store, community infos, next ids).
+
+    Reference semantics (`communities.py:32-200`):
+    - only communities with ≥2 members of this user materialize;
+    - membership unchanged (same community_id, same member_count) →
+      keep the node and its summary, skip the policy call;
+    - changed → regenerate summary, bump updated_at, rebuild HAS_MEMBER;
+    - existing communities absent from the new partition dissolve
+      (node + HAS_MEMBER edges removed).
+    """
+    spark = store.memories.sparkSession
+    summarizer = summarizer or default_summarizer
+
+    memb = _user_members(store, partitions, user_id)
+    # collect the active membership: bounded by this user's entity count,
+    # and needed driver-side anyway because summaries are per-community
+    # policy calls over the member-name list (reference loop shape)
+    rows = memb.collect()
+    clusters: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        clusters.setdefault(r["community"], []).append((r["entity_id"], r["name"]))
+
+    existing = {
+        r["community_id"]: (r["id"], r["member_count"], r["name"], r["summary"],
+                            r["created_at"])
+        for r in store.communities.where(F.col("user_id") == user_id).collect()
+    }
+
+    infos: list[dict[str, Any]] = []
+    new_rows: list[dict[str, Any]] = []
+    edge_rows: list[dict[str, Any]] = []
+    keep_node_ids: list[int] = []  # unchanged community nodes
+    active_cids: set[int] = set()
+
+    # relation context per member entity (one distributed pass, then
+    # grouped driver-side) — reference collects the same triples per
+    # community for the summary prompt (`communities.py:105-118`)
+    member_ids = [eid for ms in clusters.values() for eid, _ in ms]
+    rel_by_src: dict[int, list[str]] = {}
+    if member_ids:
+        ids_df = spark.createDataFrame([(i,) for i in member_ids], "src long")
+        names = store.entities.select("id", "name")
+        rel = (
+            store.edges.where(F.col("edge_type") == "RELATION")
+            .join(F.broadcast(ids_df), "src", "left_semi")
+            .join(names.select(F.col("id").alias("src"),
+                               F.col("name").alias("sn")), "src")
+            .join(names.select(F.col("id").alias("dst"),
+                               F.col("name").alias("tn")), "dst")
+            .select("src", "sn", "relation_type", "tn")
+        )
+        for r in rel.collect():
+            rel_by_src.setdefault(r["src"], []).append(
+                f"{r['sn']} -> {r['relation_type']} -> {r['tn']}"
+            )
+
+    for cid in sorted(clusters):
+        members = sorted(clusters[cid])
+        active_cids.add(cid)
+        names_list = [n for _, n in members]
+        if cid in existing and existing[cid][1] == len(members):
+            nid, cnt, name, summary, _created = existing[cid]
+            keep_node_ids.append(nid)
+            infos.append(dict(community_id=cid, name=name, summary=summary,
+                              member_count=cnt, member_entities=names_list))
+            continue
+        relations = [t for eid, _ in members for t in rel_by_src.get(eid, [])]
+        name, summary = summarizer(names_list, relations)
+        if usage_callback:
+            from grafeo_memory_spark.protocols import RunUsage
+
+            usage_callback("community_summary", RunUsage(calls=1))
+        if cid in existing:
+            nid = existing[cid][0]
+            created = existing[cid][4]
+        else:
+            nid = next_node_id
+            next_node_id += 1
+            created = now_ms
+        new_rows.append(
+            dict(id=nid, community_id=cid, name=name, summary=summary,
+                 member_count=len(members), user_id=user_id,
+                 created_at=created, updated_at=now_ms)
+        )
+        for eid, _ in members:
+            edge_rows.append(
+                dict(edge_id=next_edge_id, src=nid, dst=eid,
+                     edge_type="HAS_MEMBER", relation_type=None,
+                     sequence=None)
+            )
+            next_edge_id += 1
+        infos.append(dict(community_id=cid, name=name, summary=summary,
+                          member_count=len(members),
+                          member_entities=names_list))
+
+    # rewrite: drop every community row of this user that is not an
+    # unchanged keeper (covers updated AND dissolved), union fresh rows
+    keep = spark.createDataFrame(
+        [(i,) for i in keep_node_ids] or [(None,)], "id long"
+    )
+    communities = store.communities.where(
+        (F.col("user_id") != user_id) | F.col("user_id").isNull()
+    ).unionByName(
+        store.communities.join(F.broadcast(keep), "id", "left_semi")
+    )
+    if new_rows:
+        communities = communities.unionByName(
+            spark.createDataFrame(new_rows, COMMUNITY_SCHEMA)
+        )
+
+    # HAS_MEMBER edges: keep only those of keeper nodes, add fresh ones
+    hm = store.edges.where(F.col("edge_type") == "HAS_MEMBER")
+    kept_hm = hm.join(
+        F.broadcast(keep.withColumnRenamed("id", "src")), "src", "left_semi"
+    )
+    edges = store.edges.where(F.col("edge_type") != "HAS_MEMBER").unionByName(
+        kept_hm
+    )
+    if edge_rows:
+        edges = edges.unionByName(spark.createDataFrame(edge_rows, EDGE_SCHEMA))
+
+    out = store.with_(communities=communities, edges=edges)
+    return out, infos, next_node_id, next_edge_id
+
+
+def get_communities(store: Store, user_id: str) -> DataFrame:
+    """Read side (reference `get_communities`, `communities.py:203-230`):
+    community rows + sorted member-name list via the HAS_MEMBER join."""
+    hm = store.edges.where(F.col("edge_type") == "HAS_MEMBER").select(
+        F.col("src").alias("id"), F.col("dst").alias("entity_id")
+    )
+    names = store.entities.select(
+        F.col("id").alias("entity_id"), F.col("name")
+    )
+    members = (
+        hm.join(names, "entity_id")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("name")).alias("member_entities"))
+    )
+    return (
+        store.communities.where(F.col("user_id") == user_id)
+        .join(members, "id", "left")
+        .select(
+            "community_id", "name", "summary", "member_count",
+            F.coalesce(
+                "member_entities", F.array().cast("array<string>")
+            ).alias("member_entities"),
+            "created_at", "updated_at",
+        )
+        .orderBy("community_id")
+    )
+
+
+def connected_components(
+    edges_sym: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: component id = min node id
+    reachable (deterministic, so SQL-checkable via a recursive-CTE
+    closure). ``edges_sym`` carries (node_id, nbr) one row per directed
+    neighbor; callers symmetrize.
+
+    Scale shape: each round is one join + one min-agg on node_id, with
+    eager ``localCheckpoint`` to keep lineage flat (same loop shape as
+    pagerank/LPA in graph/algorithms.py) and an early exit when no label
+    changed. Rounds needed = graph diameter, not |V|.
+    """
+    labels = (
+        edges_sym.select("node_id")
+        .union(edges_sym.select(F.col("nbr").alias("node_id")))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges_sym.join(labels, "node_id")
+            .groupBy(F.col("nbr").alias("node_id"))
+            .agg(F.min("component").alias("_nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels

@@ -20,9 +20,31 @@ from pyspark.sql import functions as F
 MS_PER_DAY = 86_400_000.0
 
 
+#: knobs that must lie in [0, 1] (reference `types.py:122-137`)
+_UNIT_RANGE_KNOBS = (
+    "weight_similarity",
+    "weight_recency",
+    "weight_frequency",
+    "weight_importance",
+    "weight_topology",
+    "topology_boost_factor",
+    "cross_session_boost_factor",
+    "agreement_bonus",
+    "search_min_score",
+    "mmr_lambda",
+    "reconciliation_threshold",
+)
+
+
 @dataclass(frozen=True)
 class ScoreConfig:
-    """Scoring knobs with the reference defaults (`types.py:59-95`)."""
+    """Scoring knobs with the reference defaults (`types.py:59-95`).
+
+    Construction validates like the reference's `__post_init__`
+    (`types.py:107-146`): out-of-range knobs RAISE, an off-unit core
+    weight sum only WARNS (scores still well-defined, just rescaled).
+    ``validate()`` is the strict variant that raises on the sum too.
+    """
 
     decay_rate: float = 0.1
     weight_similarity: float = 0.4
@@ -37,13 +59,35 @@ class ScoreConfig:
     mmr_lambda: float = 0.5
     reconciliation_threshold: float = 0.3
 
-    def validate(self) -> None:
-        s = (
+    def __post_init__(self) -> None:
+        if self.decay_rate <= 0:
+            raise ValueError(
+                f"decay_rate must be positive, got {self.decay_rate}"
+            )
+        for name in _UNIT_RANGE_KNOBS:
+            val = getattr(self, name)
+            if not 0.0 <= val <= 1.0:
+                raise ValueError(f"{name} must be in [0.0, 1.0], got {val}")
+        if abs(self._core_weight_sum() - 1.0) > 0.05:
+            import warnings
+
+            warnings.warn(
+                f"core importance weights sum to "
+                f"{self._core_weight_sum():.3f}, expected ~1.0",
+                UserWarning,
+                stacklevel=3,
+            )
+
+    def _core_weight_sum(self) -> float:
+        return (
             self.weight_similarity
             + self.weight_recency
             + self.weight_frequency
             + self.weight_importance
         )
+
+    def validate(self) -> None:
+        s = self._core_weight_sum()
         if abs(s - 1.0) > 0.05:
             raise ValueError(f"core weights sum to {s:.3f}, expected ~1.0")
         if self.decay_rate <= 0:

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "label_propagation", "betweenness_centrality"]
+__all__ = [
+    "pagerank",
+    "label_propagation",
+    "louvain",
+    "modularity",
+    "betweenness_centrality",
+]
 
 
 
@@ -188,6 +194,289 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²] of a partition
+    over the undirected simple graph; used by the Louvain invariant
+    tests (non-decreasing per merge round)."""
+    und = _undirected(edges)
+    m = und.count() / 2.0
+    if m == 0:
+        return 0.0
+    lab = labels.select("node_id", "community")
+    e = (
+        und.join(lab.withColumnRenamed("node_id", "src")
+                 .withColumnRenamed("community", "ca"), "src")
+        .join(lab.withColumnRenamed("node_id", "dst")
+              .withColumnRenamed("community", "cb"), "dst")
+    )
+    row = e.agg(
+        # each undirected edge appears twice in `und`
+        (F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)) / 2.0)
+        .alias("intra"),
+    ).collect()[0]
+    intra = row["intra"] or 0.0
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    degc = (
+        deg.join(lab.withColumnRenamed("node_id", "src"), "src")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("deg_c"))
+        .agg(F.sum((F.col("deg_c") / (2.0 * m)) ** 2))
+        .collect()[0][0]
+        or 0.0
+    )
+    return intra / m - degc
+
+
+def _louvain_local(
+    rows: list, two_m: float, budget: int
+) -> dict[int, int]:
+    """Sequential multi-level Louvain over a collected quotient graph.
+
+    `rows` are directed (a, b, w) triples — both directions present,
+    plus (c, c, w) self rows carrying intra-community weight from prior
+    distributed coarsening. `budget` bounds move-phase sweeps; every
+    executed move strictly increases Q, so modularity is monotone in the
+    budget. Deterministic: nodes sweep in sorted order, a move happens
+    only on strict gain, and equal-gain candidates never displace the
+    first (smallest-id) best. Returns quotient-node → community, where
+    the community label is the minimum member id.
+    """
+    adj: dict[int, dict[int, float]] = {}
+    selfw: dict[int, float] = {}
+    for a, b, w in rows:
+        if a == b:
+            selfw[a] = selfw.get(a, 0.0) + w
+        else:
+            adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0.0) + w
+    nodes = sorted(set(adj) | set(selfw))
+    for v in nodes:
+        adj.setdefault(v, {})
+    m = two_m / 2.0
+    # node2orig: current-level node -> original quotient ids it absorbed
+    node2orig = {v: [v] for v in nodes}
+    while budget > 0 and len(nodes) > 1:
+        comm = {v: v for v in nodes}
+        k = {v: sum(adj[v].values()) + selfw.get(v, 0.0) for v in nodes}
+        tot = dict(k)
+        moved_in_level = False
+        while budget > 0:
+            budget -= 1
+            moved = False
+            for v in nodes:
+                cv = comm[v]
+                nbw: dict[int, float] = {}
+                for u, w in adj[v].items():
+                    cu = comm[u]
+                    nbw[cu] = nbw.get(cu, 0.0) + w
+                tot[cv] -= k[v]
+                best_c = cv
+                best_gain = (
+                    nbw.get(cv, 0.0) / m - tot[cv] * k[v] / (2.0 * m * m)
+                )
+                for c in sorted(nbw):
+                    if c == cv:
+                        continue
+                    g = nbw[c] / m - tot.get(c, 0.0) * k[v] / (2.0 * m * m)
+                    if g > best_gain + 1e-12:
+                        best_c, best_gain = c, g
+                tot[best_c] = tot.get(best_c, 0.0) + k[v]
+                if best_c != cv:
+                    comm[v] = best_c
+                    moved = True
+                    moved_in_level = True
+            if not moved:
+                break
+        if not moved_in_level:
+            break
+        # contract: new level node id = min member id (level ids are
+        # min-original ids inductively, so labels stay min-member ids)
+        groups: dict[int, list[int]] = {}
+        for v in nodes:
+            groups.setdefault(comm[v], []).append(v)
+        label = {c: min(g) for c, g in groups.items()}
+        new_adj: dict[int, dict[int, float]] = {}
+        new_selfw: dict[int, float] = {}
+        new_node2orig: dict[int, list[int]] = {}
+        for v in nodes:
+            c = label[comm[v]]
+            new_node2orig.setdefault(c, []).extend(node2orig[v])
+            new_selfw[c] = new_selfw.get(c, 0.0) + selfw.get(v, 0.0)
+            for u, w in adj[v].items():
+                cu = label[comm[u]]
+                if cu == c:
+                    new_selfw[c] = new_selfw.get(c, 0.0) + w
+                else:
+                    new_adj.setdefault(c, {})[cu] = (
+                        new_adj.setdefault(c, {}).get(cu, 0.0) + w
+                    )
+        adj, selfw, node2orig = new_adj, new_selfw, new_node2orig
+        nodes = sorted(set(adj) | set(selfw))
+        for v in nodes:
+            adj.setdefault(v, {})
+    return {orig: v for v in nodes for orig in node2orig[v]}
+
+
+def louvain(
+    edges: DataFrame, max_iter: int = 20, driver_max_nodes: int = 200_000
+) -> DataFrame:
+    """G3 — modularity-greedy community detection (reference Louvain,
+    `protocol.py:43`, consumed by `communities.py:32-200`); returns
+    (node_id, community).
+
+    Hybrid two-phase shape — the standard distributed-Louvain design:
+
+    Phase 1 (scale path, only while the quotient graph exceeds
+    `driver_max_nodes`): synchronous heavy-edge matching. Each round
+    builds the community quotient graph, scores every adjacent community
+    pair by its merge gain ΔQ = e_ab/m − deg_a·deg_b/(2m²), and merges
+    the pairs that pick each other as best partner (mutual-argmax,
+    ties to the smaller id). Mutual matching makes merges disjoint, so
+    the round's modularity change is the SUM of strictly positive pair
+    gains — Q is monotone and the quotient shrinks geometrically
+    (each merging community at least halves the pair's count), so
+    O(log n) rounds reach the collect threshold.
+
+    Phase 2 (always): collect the quotient graph — ≤ `driver_max_nodes`
+    nodes, a few MB — and run exact sequential multi-level Louvain on
+    the driver (`_louvain_local`), then broadcast the ≤200k-row
+    community map back. At bench scale this means ZERO distributed
+    rounds and one collect: iterative Spark jobs cost seconds of
+    scheduling overhead each, while 10⁵ nodes of Python Louvain cost
+    milliseconds. At 100 TB the edge list never leaves the cluster —
+    only the geometrically-coarsened quotient does.
+
+    Modularity is monotone non-decreasing in `max_iter` across both
+    phases (each distributed round and each driver sweep consumes one
+    unit of budget and never decreases Q). Deterministic throughout.
+    LPA (`label_propagation`) remains the cheaper fallback where
+    modularity quality is not worth the extra work.
+    """
+    und = _undirected(edges).localCheckpoint()
+    two_m = float(und.count())
+    labels = (
+        und.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("community", F.col("node_id"))
+        .localCheckpoint()
+    )
+    if two_m == 0 or max_iter <= 0:
+        return labels
+    m = two_m / 2.0
+    budget = max_iter
+    n_comm = labels.count()
+    deg = und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("deg")
+    )
+    coarsened = False
+    while n_comm > driver_max_nodes and budget > 0:
+        budget -= 1
+        lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
+            "community", "ca"
+        )
+        lab_dst = labels.withColumnRenamed("node_id", "dst").withColumnRenamed(
+            "community", "cb"
+        )
+        # quotient-graph inter-community edge weights; each undirected
+        # edge contributes its two symmetric rows, so e_ab arrives
+        # already counted once per direction
+        inter = (
+            und.join(lab_src, "src")
+            .join(lab_dst, "dst")
+            .where(F.col("ca") != F.col("cb"))
+            .groupBy("ca", "cb")
+            .agg((F.count("*")).alias("e_ab"))
+        )
+        deg_c = (
+            deg.join(labels, "node_id")
+            .groupBy("community")
+            .agg(F.sum("deg").alias("deg_c"))
+        )
+        pairs = (
+            inter.join(deg_c.withColumnRenamed("community", "ca")
+                       .withColumnRenamed("deg_c", "da"), "ca")
+            .join(deg_c.withColumnRenamed("community", "cb")
+                  .withColumnRenamed("deg_c", "db"), "cb")
+            .select(
+                "ca", "cb",
+                (
+                    F.col("e_ab") / F.lit(m)
+                    - F.col("da") * F.col("db") / F.lit(2.0 * m * m)
+                ).alias("gain"),
+            )
+            .where(F.col("gain") > 0)
+        )
+        w = Window.partitionBy("ca").orderBy(
+            F.col("gain").desc(), F.col("cb").asc()
+        )
+        best = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("ca", "cb")
+        )
+        merges = (
+            best.alias("x")
+            .join(
+                best.alias("y"),
+                (F.col("x.ca") == F.col("y.cb"))
+                & (F.col("x.cb") == F.col("y.ca")),
+            )
+            .where(F.col("x.ca") < F.col("x.cb"))
+            .select(
+                F.col("x.ca").alias("keep"), F.col("x.cb").alias("merge")
+            )
+            .localCheckpoint()
+        )
+        if merges.isEmpty():
+            break
+        coarsened = True
+        labels = (
+            labels.join(
+                merges.withColumnRenamed("merge", "community"),
+                "community",
+                "left",
+            )
+            .select(
+                "node_id",
+                F.coalesce(F.col("keep"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint()
+        )
+        n_comm = labels.select("community").distinct().count()
+    if budget <= 0 or n_comm > driver_max_nodes:
+        return labels
+    lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
+        "community", "ca"
+    )
+    lab_dst = labels.withColumnRenamed("node_id", "dst").withColumnRenamed(
+        "community", "cb"
+    )
+    rows = [
+        (r["ca"], r["cb"], float(r["w"]))
+        for r in (
+            und.join(lab_src, "src")
+            .join(lab_dst, "dst")
+            .groupBy("ca", "cb")
+            .agg(F.count("*").alias("w"))
+            .collect()
+        )
+    ]
+    assign = _louvain_local(rows, two_m, budget)
+    if not assign:
+        return labels
+    spark = edges.sparkSession
+    map_df = spark.createDataFrame(
+        sorted(assign.items()), "community long, _final long"
+    )
+    if not coarsened:
+        return map_df.select(
+            F.col("community").alias("node_id"),
+            F.col("_final").alias("community"),
+        )
+    return labels.join(F.broadcast(map_df), "community").select(
+        "node_id", F.col("_final").alias("community")
+    )
 
 
 def betweenness_centrality(

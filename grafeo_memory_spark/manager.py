@@ -80,6 +80,7 @@ class MemoryEngine:
         reconciler: Reconciler | None = None,
         config: ScoreConfig | None = None,
         reranker: Reranker | None = None,
+        describer=None,
         relation_reconciler=None,
         usage_callback=None,
         reconcile_threshold: float = 0.3,
@@ -93,6 +94,10 @@ class MemoryEngine:
         self.reconciler = reconciler or ScriptedReconciler()
         self.config = config or ScoreConfig()
         self.reranker = reranker
+        #: P-vision policy (reference `vision.py:24-66`): image URLs →
+        #: text descriptions merged into the ingest text. None disables
+        #: the vision path (reference enable_vision=False default).
+        self.describer = describer
         #: optional policy deciding which existing RELATION triples a
         #: new relation batch contradicts (reference
         #: `reconciliation/relations.py:26-62`): callable
@@ -143,7 +148,20 @@ class MemoryEngine:
         reconcile (policy) → execute decisions → entity/relation graph →
         session chain + episode provenance."""
         now = self._now_fn()
-        text, actor_id, _images = normalize_messages(messages)
+        text, actor_id, images = normalize_messages(messages)
+        # vision slot (reference `manager.py:218-224`): describe each
+        # image via the policy, append "[Image: ...]" lines to the text
+        # BEFORE extraction, falling back per image on policy failure
+        if images and self.describer is not None:
+            try:
+                descs = self.describer.describe(images)
+                if self.usage_callback:
+                    self.usage_callback("describe_image", RunUsage(calls=len(images)))
+            except Exception:
+                descs = ["[image: undescribed]"] * len(images)
+            image_text = "\n".join(f"[Image: {d}]" for d in descs if d)
+            if image_text:
+                text = f"{text}\n{image_text}" if text else image_text
         scope = dict(
             session_id=session_id, run_id=run_id, agent_id=agent_id,
             graph_name=graph_name, actor_id=actor_id,
@@ -219,14 +237,17 @@ class MemoryEngine:
             )
         )
         new_ids = res.added_ids + res.updated_ids
+        mentioned_ids: list[int] = []
         if ext.get("entities"):
-            self._store_graph(
+            mentioned_ids = self._store_graph(
                 new_ids, ext["entities"], ext.get("relations", []),
                 user_id=user_id, graph_name=graph_name,
             )
         if (run_id or session_id) and new_ids:
             self._link_session_chain(new_ids, user_id, run_id or session_id, now)
-        self._add_episode(text, user_id, session_id, run_id, now, new_ids)
+        self._add_episode(
+            text, user_id, session_id, run_id, now, new_ids, mentioned_ids
+        )
         self._graph_dirty = True
         return res
 
@@ -238,13 +259,14 @@ class MemoryEngine:
         *,
         user_id: str,
         graph_name: str | None,
-    ) -> None:
+    ) -> list[int]:
         """J6 find-or-create entities + HAS_ENTITY/RELATION edges
         (reference `_store_graph` `manager.py:1646-1683`,
-        `_find_or_create_entity` 1685-1710)."""
+        `_find_or_create_entity` 1685-1710). Returns the touched entity
+        ids so the episode writer can attach MENTIONS provenance."""
         names = {normalize_entity_name(e["name"]): e for e in entities}
         if not names:
-            return
+            return []
         existing = {
             r["name"]: r["id"]
             for r in self.store.entities.where(
@@ -322,6 +344,7 @@ class MemoryEngine:
                 )
             )
         self.store = st
+        return sorted(ids.values())
 
     def _link_session_chain(
         self, new_ids: Sequence[int], user_id: str, run_key: str, now: int
@@ -361,10 +384,12 @@ class MemoryEngine:
             )
 
     def _add_episode(
-        self, content, user_id, session_id, run_id, now, produced_ids
+        self, content, user_id, session_id, run_id, now, produced_ids,
+        mentioned_ids=(),
     ) -> None:
         """Episode provenance + NEXT_EPISODE chain (reference
-        `manager.py:1227-1307`)."""
+        `_create_episode` `manager.py:1227-1307`): PRODUCED edges to the
+        memories it yielded, MENTIONS edges to the extracted entities."""
         eid = self._next_node_id
         self._next_node_id += 1
         ep = self.spark.createDataFrame(
@@ -376,11 +401,17 @@ class MemoryEngine:
             EPISODE_SCHEMA,
         )
         edge_rows = [
-            dict(edge_id=self._next_edge_id + i, src=eid, dst=m,
+            dict(edge_id=0, src=eid, dst=m,
                  edge_type="PRODUCED", relation_type=None, sequence=None)
-            for i, m in enumerate(produced_ids)
+            for m in produced_ids
+        ] + [
+            dict(edge_id=0, src=eid, dst=e,
+                 edge_type="MENTIONS", relation_type=None, sequence=None)
+            for e in mentioned_ids
         ]
-        self._next_edge_id += len(edge_rows)
+        for r in edge_rows:
+            r["edge_id"] = self._next_edge_id
+            self._next_edge_id += 1
         if session_id:
             prev = (
                 self.store.episodes.where(
@@ -585,3 +616,260 @@ class MemoryEngine:
             topology_protect_threshold=topology_protect_threshold,
         )
         return sids
+
+    # ------------------------------------------------- facade: batch add
+    def add_batch(
+        self, messages_list: Sequence, *, infer: bool = True, **kw
+    ) -> ExecResult:
+        """Batch ingest (reference `add_batch`, `manager.py:2113-2140`):
+        infer=False batch-embeds every text in ONE embed call before the
+        per-message pipeline; infer=True runs each message through the
+        full pipeline sequentially (the reference does the same — the
+        reconciliation of message N must see the memories of N-1)."""
+        agg = ExecResult()
+        if not infer:
+            texts = [normalize_messages(m)[0] for m in messages_list]
+            cache = dict(zip(texts, self.embedder.embed(texts)))
+            real = self.embedder
+
+            class _Cached:
+                dimensions = real.dimensions
+
+                def embed(self, batch):
+                    return [
+                        cache[t] if t in cache else real.embed([t])[0]
+                        for t in batch
+                    ]
+
+            self.embedder = _Cached()
+            try:
+                for m in messages_list:
+                    r = self.add(m, infer=False, **kw)
+                    agg.added_ids += r.added_ids
+                    agg.updated_ids += r.updated_ids
+                    agg.expired_ids += r.expired_ids
+                    agg.skipped += r.skipped
+            finally:
+                self.embedder = real
+            return agg
+        for m in messages_list:
+            r = self.add(m, infer=True, **kw)
+            agg.added_ids += r.added_ids
+            agg.updated_ids += r.updated_ids
+            agg.expired_ids += r.expired_ids
+            agg.skipped += r.skipped
+        return agg
+
+    # ---------------------------------------------- facade: temporal/graph
+    def set_importance(self, memory_id: int, importance: float) -> bool:
+        """Set the base importance score (reference `_set_importance_impl`,
+        `manager.py:2016-2029`): range-checked, False for unknown ids."""
+        if not 0.0 <= importance <= 1.0:
+            raise ValueError("importance must be between 0.0 and 1.0")
+        if not self.store.memories.where(F.col("id") == memory_id).take(1):
+            return False
+        self.store = self.store.with_(
+            memories=self.store.memories.withColumn(
+                "importance",
+                F.when(F.col("id") == memory_id, F.lit(float(importance)))
+                .otherwise(F.col("importance")),
+            )
+        )
+        return True
+
+    def temporal_chain(
+        self,
+        memory_id: int,
+        *,
+        user_id: str | None = None,
+        graph_name: str | None = None,
+        direction: str = "forward",
+        max_depth: int = 5,
+    ) -> DataFrame:
+        """J10 — follow LEADS_TO edges from a memory (reference
+        `temporal_chain`, `manager.py:1475-1569 / 2236-2249`): the
+        reached memories (start excluded), optionally scoped to a user
+        and graph_name, ordered by created_at.
+
+        Output: (memory_id, text, created_at, session_id).
+        """
+        from grafeo_memory_spark.operators.traversals import expand_chain
+
+        seed = self.spark.createDataFrame([(int(memory_id),)], "node_id long")
+        parts = []
+        if direction in ("forward", "both"):
+            parts.append(
+                expand_chain(self.store.edges, seed, "LEADS_TO", max_depth,
+                             "forward")
+            )
+        if direction in ("backward", "both"):
+            parts.append(
+                expand_chain(self.store.edges, seed, "LEADS_TO", max_depth,
+                             "backward")
+            )
+        if not parts:
+            raise ValueError(f"unknown direction {direction!r}")
+        reached = parts[0]
+        for p in parts[1:]:
+            reached = reached.unionByName(p)
+        mem = current_view(self.store.memories, include_expired=True)
+        if user_id is not None:
+            mem = mem.where(F.col("user_id") == user_id)
+        if graph_name is not None:
+            mem = mem.where(F.col("graph_name") == graph_name)
+        return (
+            reached.select(F.col("node_id").alias("memory_id")).distinct()
+            .join(mem.withColumnRenamed("id", "memory_id"), "memory_id")
+            .select("memory_id", "text", "created_at", "session_id")
+            .orderBy("created_at", "memory_id")
+        )
+
+    def episode_chain(
+        self, episode_id: int, *, direction: str = "forward",
+        max_depth: int = 10,
+    ) -> DataFrame:
+        """J11 — follow NEXT_EPISODE edges for session replay (reference
+        `_episode_chain_impl`, `manager.py:1407-1473`): backward
+        predecessors first (farthest → nearest), then forward successors
+        — the reference's `reversed(backward) + forward` order, encoded
+        as a signed position column.
+
+        Output: episode columns + ``position`` (− = predecessor).
+        """
+        from grafeo_memory_spark.operators.traversals import expand_chain
+
+        seed = self.spark.createDataFrame([(int(episode_id),)], "node_id long")
+        parts = []
+        if direction in ("backward", "both"):
+            parts.append(
+                expand_chain(self.store.edges, seed, "NEXT_EPISODE",
+                             max_depth, "backward")
+                .select("node_id", (-F.col("depth")).alias("position"))
+            )
+        if direction in ("forward", "both"):
+            parts.append(
+                expand_chain(self.store.edges, seed, "NEXT_EPISODE",
+                             max_depth, "forward")
+                .select("node_id", F.col("depth").alias("position"))
+            )
+        if not parts:
+            raise ValueError(f"unknown direction {direction!r}")
+        reached = parts[0]
+        for p in parts[1:]:
+            reached = reached.unionByName(p)
+        return (
+            reached.withColumnRenamed("node_id", "episode_id")
+            .join(
+                self.store.episodes.withColumnRenamed("id", "episode_id"),
+                "episode_id",
+            )
+            .select(
+                "episode_id", "content", "source", "user_id", "session_id",
+                "run_id", "created_at", "position",
+            )
+            .orderBy("position")
+        )
+
+    def get_episodes(
+        self, *, user_id: str = "default", session_id: str | None = None,
+        limit: int = 50,
+    ) -> DataFrame:
+        """Episode listing (reference `_get_episodes_impl`,
+        `manager.py:1309-1367`): episodes of a user (optionally one
+        session) with their produced-memory ids and mentioned-entity
+        names, oldest first, limited.
+
+        Output: episode columns + ``produced_memories`` (sorted id
+        array) + ``mentioned_entities`` (sorted name array).
+        """
+        eps = self.store.episodes.where(F.col("user_id") == user_id)
+        if session_id is not None:
+            eps = eps.where(F.col("session_id") == session_id)
+        eps = eps.withColumnRenamed("id", "episode_id")
+        produced = (
+            self.store.edges.where(F.col("edge_type") == "PRODUCED")
+            .groupBy(F.col("src").alias("episode_id"))
+            .agg(F.sort_array(F.collect_list("dst")).alias("produced_memories"))
+        )
+        mentions = (
+            self.store.edges.where(F.col("edge_type") == "MENTIONS")
+            .select(F.col("src").alias("episode_id"),
+                    F.col("dst").alias("entity_id"))
+            .join(
+                self.store.entities.select(
+                    F.col("id").alias("entity_id"), "name"
+                ),
+                "entity_id",
+            )
+            .groupBy("episode_id")
+            .agg(F.sort_array(F.collect_list("name")).alias("mentioned_entities"))
+        )
+        return (
+            eps.join(produced, "episode_id", "left")
+            .join(mentions, "episode_id", "left")
+            .withColumn(
+                "produced_memories",
+                F.coalesce("produced_memories",
+                           F.array().cast("array<long>")),
+            )
+            .withColumn(
+                "mentioned_entities",
+                F.coalesce("mentioned_entities",
+                           F.array().cast("array<string>")),
+            )
+            .orderBy(F.col("created_at").asc(), F.col("episode_id").asc())
+            .limit(limit)
+        )
+
+    def get_provenance(self, memory_id: int) -> DataFrame:
+        """J12 — the episodes that PRODUCED a memory (reference
+        `_get_provenance_impl`, `manager.py:1369-1405`)."""
+        eps = (
+            self.store.edges.where(
+                (F.col("edge_type") == "PRODUCED")
+                & (F.col("dst") == memory_id)
+            )
+            .select(F.col("src").alias("episode_id"))
+            .join(
+                self.store.episodes.withColumnRenamed("id", "episode_id"),
+                "episode_id",
+            )
+        )
+        return eps.orderBy("created_at", "episode_id")
+
+    # ----------------------------------------------- facade: communities
+    def detect_communities(
+        self, *, user_id: str = "default", algorithm: str = "louvain",
+        summarizer=None, max_iter: int = 20,
+    ) -> list[dict]:
+        """G3 + J15 — detect entity communities over the RELATION graph
+        and materialize them as Community nodes + HAS_MEMBER edges
+        (reference `manager.py` louvain → `communities.py:32-200`).
+        ``algorithm``: 'louvain' (modularity-greedy) or 'lpa'."""
+        from grafeo_memory_spark.communities import materialize_communities
+        from grafeo_memory_spark.graph.algorithms import (
+            label_propagation,
+            louvain,
+        )
+
+        rel = self.store.edges.where(F.col("edge_type") == "RELATION")
+        if algorithm == "lpa":
+            parts = label_propagation(rel, max_iter=max_iter)
+        else:
+            parts = louvain(rel, max_iter=max_iter)
+        self.store, infos, self._next_node_id, self._next_edge_id = (
+            materialize_communities(
+                self.store, parts, user_id=user_id, now_ms=self._now_fn(),
+                next_node_id=self._next_node_id,
+                next_edge_id=self._next_edge_id,
+                summarizer=summarizer, usage_callback=self.usage_callback,
+            )
+        )
+        return infos
+
+    def get_communities(self, *, user_id: str = "default") -> DataFrame:
+        """Read the materialized communities (reference
+        `get_communities`, `communities.py:203-230`)."""
+        from grafeo_memory_spark.communities import get_communities
+
+        return get_communities(self.store, user_id)

@@ -64,6 +64,35 @@ class Reconciler(Protocol):
     ) -> dict[str, Any]: ...
 
 
+@runtime_checkable
+class ImageDescriber(Protocol):
+    """P-vision — convert image URLs to text descriptions feeding the
+    extraction pipeline (reference `vision.py:24-66`,
+    `describe_images`). One description per input URL; implementations
+    fall back to a placeholder on per-image failure so the pipeline can
+    continue (reference `vision.py:51-53`)."""
+
+    def describe(self, image_urls: list[str]) -> list[str]: ...
+
+
+class ScriptedDescriber:
+    """Deterministic vision mock (the engine-test analog of the
+    reference's `tests/test_vision.py` fixtures): describes each URL as
+    a stable function of the URL itself, or replays scripted outputs."""
+
+    def __init__(self, outputs: list[str] | None = None):
+        self._outputs = list(outputs) if outputs else None
+
+    def describe(self, image_urls: list[str]) -> list[str]:
+        if self._outputs is not None:
+            out, self._outputs = (
+                self._outputs[: len(image_urls)],
+                self._outputs[len(image_urls):],
+            )
+            return out + ["[image: undescribed]"] * (len(image_urls) - len(out))
+        return [f"image at {u}" for u in image_urls]
+
+
 class HashEmbedder:
     """Deterministic unit-vector embedder (the reference's test device,
     `tests/mock_llm.py:12-43`): sha256 of the text seeds the components,

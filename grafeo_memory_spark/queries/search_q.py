@@ -188,15 +188,53 @@ def q_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-@query("mmr_topk")  # greedy-sequential selection: not SQL-expressible
+@query(
+    "mmr_topk",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT e.vec_id AS id, {_DUCK_COS} AS sim,
+               e.embedding::DOUBLE[] AS emb
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY sim DESC, id ASC LIMIT 40
+    ),
+    sel(step, id, mmr, chosen) AS (
+      (SELECT 1, id, 0.5 * sim, [id]
+       FROM cand ORDER BY 0.5 * sim DESC, id ASC LIMIT 1)
+      UNION ALL
+      (SELECT s.step + 1, pick.id, pick.score, list_append(s.chosen, pick.id)
+       FROM sel s, LATERAL (
+         SELECT c.id AS id,
+                0.5 * c.sim - 0.5 * (
+                  SELECT max(
+                    list_dot_product(c.emb, c2.emb)
+                    / (sqrt(list_dot_product(c.emb, c.emb))
+                       * sqrt(list_dot_product(c2.emb, c2.emb)))
+                  )
+                  FROM cand c2 WHERE list_contains(s.chosen, c2.id)
+                ) AS score
+         FROM cand c WHERE NOT list_contains(s.chosen, c.id)
+         ORDER BY score DESC, c.id ASC LIMIT 1
+       ) pick
+       WHERE s.step < 10)
+    )
+    SELECT id AS vec_id, round(mmr, 6) AS mmr FROM sel ORDER BY vec_id
+    """,
+)
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — MMR diverse search (reference `mmr_search`,
     `search/vector.py:194-291`): fetch_k=4k candidates by exact kNN
     (distributed), then the inherently-sequential greedy
     relevance/diversity selection on the driver over those 40 rows —
-    the same split the reference engine uses. Unit-tested with
-    closed-form orthogonal-vector cases (tests/test_vector.py); the
-    driver records a rows-only check here.
+    the same split the reference engine uses.
+
+    The greedy loop IS SQL-expressible for a fixed k: a DuckDB
+    recursive CTE whose step argmax runs in a LATERAL subquery over the
+    not-yet-chosen candidates (VERDICT r2 item 4) — so the selection
+    order and scores are hash-verified, not just row-counted.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()

@@ -88,6 +88,21 @@ EPISODE_SCHEMA = T.StructType(
     ]
 )
 
+#: Community node rows (J15 write side, reference `communities.py`;
+#: FIXTURES.md §B communities table)
+COMMUNITY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("community_id", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("summary", T.StringType(), True),
+        T.StructField("member_count", T.IntegerType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("created_at", T.LongType(), True),
+        T.StructField("updated_at", T.LongType(), True),
+    ]
+)
+
 HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("memory_id", T.LongType(), False),
@@ -106,20 +121,37 @@ TABLE_SCHEMAS = {
     "edges": EDGE_SCHEMA,
     "episodes": EPISODE_SCHEMA,
     "history": HISTORY_SCHEMA,
+    "communities": COMMUNITY_SCHEMA,
 }
 
 
 @dataclass(frozen=True)
 class Store:
-    """Immutable handle on the five memory-graph DataFrames. Mutations
+    """Immutable handle on the memory-graph DataFrames. Mutations
     (lifecycle.py) return a new Store — append-only semantics, matching
-    the reference's soft-expiry design (SURVEY §2.12 T3)."""
+    the reference's soft-expiry design (SURVEY §2.12 T3).
+
+    ``communities`` defaults to an empty frame (built lazily off the
+    memories session) so pre-existing five-table constructions keep
+    working; it holds the J15 materialized Community nodes.
+    """
 
     memories: DataFrame
     entities: DataFrame
     edges: DataFrame
     episodes: DataFrame
     history: DataFrame
+    communities: DataFrame | None = None
+
+    def __post_init__(self) -> None:
+        if self.communities is None:
+            object.__setattr__(
+                self,
+                "communities",
+                self.memories.sparkSession.createDataFrame(
+                    [], COMMUNITY_SCHEMA
+                ),
+            )
 
     def with_(self, **tables: DataFrame) -> "Store":
         return replace(self, **tables)
@@ -135,12 +167,15 @@ def empty_store(spark: SparkSession) -> Store:
 
 
 def load_store(spark: SparkSession, path: str) -> Store:
-    return Store(
-        **{
-            name: spark.read.parquet(os.path.join(path, f"{name}.parquet"))
-            for name in TABLE_SCHEMAS
-        }
-    )
+    tables = {}
+    for name, schema in TABLE_SCHEMAS.items():
+        p = os.path.join(path, f"{name}.parquet")
+        if os.path.exists(p):
+            tables[name] = spark.read.parquet(p)
+        else:
+            # stores saved before the communities table existed
+            tables[name] = spark.createDataFrame([], schema)
+    return Store(**tables)
 
 
 def save_store(store: Store, path: str) -> None:
@@ -153,7 +188,7 @@ def save_store(store: Store, path: str) -> None:
     store.edges.sortWithinPartitions("edge_type", "src").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "edges.parquet"))
-    for name in ("entities", "episodes", "history"):
+    for name in ("entities", "episodes", "history", "communities"):
         getattr(store, name).write.mode("overwrite").parquet(
             os.path.join(path, f"{name}.parquet")
         )

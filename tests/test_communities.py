@@ -1,0 +1,262 @@
+"""Community detection + materialization lifecycle — the reference's
+`tests/test_communities.py` themes (18 tests): ≥2-member threshold,
+membership-unchanged skip, summary regeneration on change, dissolution,
+HAS_MEMBER wiring, and Louvain modularity invariants (SURVEY §2.10 G3,
+§2.3 J15)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.communities import (
+    get_communities,
+    materialize_communities,
+)
+from grafeo_memory_spark.graph.algorithms import (
+    label_propagation,
+    louvain,
+    modularity,
+)
+from grafeo_memory_spark.manager import MemoryEngine
+from grafeo_memory_spark.protocols import ScriptedExtractor
+from grafeo_memory_spark.store import empty_store
+
+
+def _edges(spark, pairs, edge_type="RELATION"):
+    return spark.createDataFrame(
+        [(i, a, b, edge_type, None, None) for i, (a, b) in enumerate(pairs)],
+        "edge_id long, src long, dst long, edge_type string, "
+        "relation_type string, sequence int",
+    )
+
+
+# two 3-cliques joined by one bridge edge — the canonical two-community
+# graph; any modularity-greedy method must split it at the bridge
+_TWO_CLIQUES = [
+    (1, 2), (2, 3), (1, 3),
+    (4, 5), (5, 6), (4, 6),
+    (3, 4),
+]
+
+
+class TestLouvain:
+    def test_two_cliques_split(self, spark):
+        parts = {
+            r["node_id"]: r["community"]
+            for r in louvain(_edges(spark, _TWO_CLIQUES)).collect()
+        }
+        assert parts[1] == parts[2] == parts[3]
+        assert parts[4] == parts[5] == parts[6]
+        assert parts[1] != parts[4]
+
+    def test_modularity_beats_singletons(self, spark):
+        e = _edges(spark, _TWO_CLIQUES)
+        labels = louvain(e)
+        singletons = labels.select(
+            "node_id", F.col("node_id").alias("community")
+        )
+        assert modularity(e, labels) > modularity(e, singletons)
+
+    def test_modularity_non_decreasing_per_round(self, spark):
+        # run round-by-round via max_iter and assert Q never drops —
+        # the merge-matching design guarantees monotone modularity
+        e = _edges(spark, _TWO_CLIQUES + [(6, 7), (7, 8), (8, 6), (2, 7)])
+        qs = [
+            modularity(e, louvain(e, max_iter=k)) for k in range(0, 4)
+        ]
+        assert all(b >= a - 1e-12 for a, b in zip(qs, qs[1:])), qs
+
+    def test_deterministic(self, spark):
+        e = _edges(spark, _TWO_CLIQUES)
+        a = sorted(map(tuple, louvain(e).collect()))
+        b = sorted(map(tuple, louvain(e).collect()))
+        assert a == b
+
+    def test_empty_graph(self, spark):
+        e = _edges(spark, [])
+        assert louvain(e).count() == 0
+
+    def test_matches_lpa_on_clean_clusters(self, spark):
+        # both algorithms should find the same 2-way split here
+        e = _edges(spark, _TWO_CLIQUES)
+        lv = {r["node_id"]: r["community"] for r in louvain(e).collect()}
+        lp = {
+            r["node_id"]: r["community"]
+            for r in label_propagation(e).collect()
+        }
+        lv_groups = {frozenset(k for k, v in lv.items() if v == c)
+                     for c in set(lv.values())}
+        lp_groups = {frozenset(k for k, v in lp.items() if v == c)
+                     for c in set(lp.values())}
+        assert lv_groups == lp_groups
+
+
+def _store_with_entities(spark, names_by_id, rel_pairs, user_id="u"):
+    st = empty_store(spark)
+    ent = spark.createDataFrame(
+        [(i, n, "concept", user_id, None) for i, n in names_by_id.items()],
+        "id long, name string, entity_type string, user_id string, "
+        "graph_name string",
+    )
+    return st.with_(entities=ent, edges=_edges(spark, rel_pairs))
+
+
+def _partition(spark, assign):
+    return spark.createDataFrame(
+        list(assign.items()), "node_id long, community long"
+    )
+
+
+class TestMaterialization:
+    def test_creates_nodes_and_member_edges(self, spark):
+        st = _store_with_entities(
+            spark, {1: "a", 2: "b", 3: "c"}, [(1, 2)], user_id="u"
+        )
+        st, infos, nid, eid = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10, 3: 20}),
+            user_id="u", now_ms=5_000, next_node_id=100, next_edge_id=100,
+        )
+        # community 20 has a single member → below threshold
+        assert [i["community_id"] for i in infos] == [10]
+        assert infos[0]["member_count"] == 2
+        rows = st.communities.collect()
+        assert len(rows) == 1 and rows[0]["id"] == 100
+        hm = st.edges.where(F.col("edge_type") == "HAS_MEMBER").collect()
+        assert sorted(e["dst"] for e in hm) == [1, 2]
+        assert nid == 101 and eid == 102
+
+    def test_membership_unchanged_skips_summary(self, spark):
+        st = _store_with_entities(spark, {1: "a", 2: "b"}, [(1, 2)])
+        calls = []
+
+        def summ(members, relations):
+            calls.append(members)
+            return "name", "summary-v" + str(len(calls))
+
+        part = _partition(spark, {1: 10, 2: 10})
+        st, _, nid, eid = materialize_communities(
+            st, part, user_id="u", now_ms=1_000, next_node_id=100,
+            next_edge_id=100, summarizer=summ,
+        )
+        assert len(calls) == 1
+        st, infos, _, _ = materialize_communities(
+            st, part, user_id="u", now_ms=2_000, next_node_id=nid,
+            next_edge_id=eid, summarizer=summ,
+        )
+        # O7 skip: same membership → no new policy call, summary kept
+        assert len(calls) == 1
+        assert infos[0]["summary"] == "summary-v1"
+        row = st.communities.collect()[0]
+        assert row["updated_at"] == 1_000  # untouched
+
+    def test_membership_change_regenerates(self, spark):
+        st = _store_with_entities(spark, {1: "a", 2: "b", 3: "c"}, [(1, 2)])
+        calls = []
+
+        def summ(members, relations):
+            calls.append(tuple(sorted(members)))
+            return "n", f"v{len(calls)}"
+
+        st, _, nid, eid = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10}), user_id="u",
+            now_ms=1_000, next_node_id=100, next_edge_id=100,
+            summarizer=summ,
+        )
+        st, infos, _, _ = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10, 3: 10}), user_id="u",
+            now_ms=2_000, next_node_id=nid, next_edge_id=eid,
+            summarizer=summ,
+        )
+        assert calls == [("a", "b"), ("a", "b", "c")]
+        row = st.communities.collect()[0]
+        # node id reused, timestamps split created/updated
+        assert row["id"] == 100
+        assert row["created_at"] == 1_000 and row["updated_at"] == 2_000
+        assert row["member_count"] == 3
+        hm = st.edges.where(F.col("edge_type") == "HAS_MEMBER")
+        assert hm.count() == 3  # old member edges replaced, not appended
+
+    def test_dissolution_removes_node_and_edges(self, spark):
+        st = _store_with_entities(spark, {1: "a", 2: "b", 3: "c", 4: "d"},
+                                  [(1, 2), (3, 4)])
+        st, _, nid, eid = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10, 3: 20, 4: 20}),
+            user_id="u", now_ms=1_000, next_node_id=100, next_edge_id=100,
+        )
+        assert st.communities.count() == 2
+        # community 20 dissolves (members went singleton)
+        st, infos, _, _ = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10, 3: 20, 4: 30}),
+            user_id="u", now_ms=2_000, next_node_id=nid, next_edge_id=eid,
+        )
+        assert [i["community_id"] for i in infos] == [10]
+        assert st.communities.count() == 1
+        hm = st.edges.where(F.col("edge_type") == "HAS_MEMBER")
+        assert sorted(r["dst"] for r in hm.collect()) == [1, 2]
+
+    def test_other_users_untouched(self, spark):
+        st = _store_with_entities(spark, {1: "a", 2: "b"}, [(1, 2)],
+                                  user_id="u")
+        other_ent = spark.createDataFrame(
+            [(9, "z1", "concept", "other", None),
+             (10, "z2", "concept", "other", None)],
+            st.entities.schema,
+        )
+        st = st.with_(entities=st.entities.unionByName(other_ent))
+        st, _, nid, eid = materialize_communities(
+            st, _partition(spark, {9: 7, 10: 7}), user_id="other",
+            now_ms=1_000, next_node_id=100, next_edge_id=100,
+        )
+        st, _, _, _ = materialize_communities(
+            st, _partition(spark, {1: 3, 2: 3}), user_id="u",
+            now_ms=2_000, next_node_id=nid, next_edge_id=eid,
+        )
+        users = {r["user_id"] for r in st.communities.collect()}
+        assert users == {"u", "other"}
+
+    def test_get_communities_read_side(self, spark):
+        st = _store_with_entities(spark, {1: "beta", 2: "alpha"}, [(1, 2)])
+        st, _, _, _ = materialize_communities(
+            st, _partition(spark, {1: 10, 2: 10}), user_id="u",
+            now_ms=1_000, next_node_id=100, next_edge_id=100,
+        )
+        got = get_communities(st, "u").collect()
+        assert len(got) == 1
+        assert got[0]["member_entities"] == ["alpha", "beta"]  # sorted
+        assert got[0]["member_count"] == 2
+        assert get_communities(st, "nobody").count() == 0
+
+
+class TestEngineFacade:
+    def test_detect_and_get_via_engine(self, spark):
+        ext = ScriptedExtractor(
+            outputs=[
+                {
+                    "facts": ["a b c work together"],
+                    "entities": [
+                        {"name": n, "entity_type": "person"}
+                        for n in ("pa", "pb", "pc")
+                    ],
+                    "relations": [
+                        {"source": "pa", "target": "pb",
+                         "relation_type": "knows"},
+                        {"source": "pb", "target": "pc",
+                         "relation_type": "knows"},
+                        {"source": "pa", "target": "pc",
+                         "relation_type": "knows"},
+                    ],
+                }
+            ]
+        )
+        eng = MemoryEngine(spark, extractor=ext, now_fn=lambda: 1_000)
+        eng.add("a b c work together", user_id="u")
+        infos = eng.detect_communities(user_id="u")
+        assert len(infos) == 1 and infos[0]["member_count"] == 3
+        got = eng.get_communities(user_id="u").collect()
+        assert got[0]["member_entities"] == ["pa", "pb", "pc"]
+        # usage callback fires per generated summary
+        seen = []
+        eng.usage_callback = lambda op, u: seen.append(op)
+        eng.detect_communities(user_id="u")  # unchanged → skip, no call
+        assert "community_summary" not in seen

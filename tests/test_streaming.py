@@ -62,10 +62,15 @@ def test_streaming_end_to_end(spark, tmp_path):
     _events(spark, [(3, T0 + 3000, "u1", "s1"), (4, T0 + 1000, "u2", "s9")]) \
         .coalesce(1).write.mode("append").parquet(src)
     sink = run_session_chain_stream(spark, src, ckpt)
-    links = {(r["src_event"], r["dst_event"]) for r in sink.links}
+    links = {(r["src_event"], r["dst_event"])
+             for r in sink.links(spark).collect()}
     # regardless of how files were batched, the chain 1→2→3 must come
     # out whole and u2's singleton must not link
     assert links == {(1, 2), (2, 3)}
+    # state lives in a table, one row per live session, not on the driver
+    tails = {(r["user_id"], r["session_id"], r["event_id"])
+             for r in sink.tails(spark).collect()}
+    assert tails == {("u1", "s1", 3), ("u2", "s9", 4)}
 
 
 def test_windowed_counts_watermark(spark):
