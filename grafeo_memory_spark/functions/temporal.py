@@ -115,6 +115,10 @@ def normalize_messages(messages) -> tuple[str, str | None, list[str]]:
         return messages, None, []
     if isinstance(messages, dict):
         messages = [messages]
+    elif not isinstance(messages, list):
+        raise TypeError(
+            f"expected str, dict, or list[dict], got {type(messages).__name__}"
+        )
     lines: list[str] = []
     images: list[str] = []
     actor: str | None = None
@@ -125,9 +129,13 @@ def normalize_messages(messages) -> tuple[str, str | None, list[str]]:
         if isinstance(content, list):  # multimodal parts
             texts = []
             for part in content:
+                if not isinstance(part, dict):  # skip, as the reference does
+                    continue
                 if part.get("type") == "image_url":
                     url = part.get("image_url")
-                    images.append(url.get("url") if isinstance(url, dict) else url)
+                    url = url.get("url") if isinstance(url, dict) else url
+                    if url:  # empty/missing URLs are dropped
+                        images.append(url)
                 else:
                     texts.append(part.get("text", ""))
             content = " ".join(t for t in texts if t)

@@ -65,7 +65,7 @@ class _PassthroughExtractor:
     """Default P4: the whole message is one fact, no entities/relations
     (the reference's infer=False raw-add path, `manager.py:226-248`)."""
 
-    def extract(self, text: str) -> dict[str, Any]:
+    def extract(self, text: str, prompt: str | None = None) -> dict[str, Any]:
         return {"facts": [text], "entities": [], "relations": []}
 
 
@@ -83,6 +83,9 @@ class MemoryEngine:
         describer=None,
         relation_reconciler=None,
         usage_callback=None,
+        custom_fact_prompt: str | None = None,
+        custom_update_prompt: str | None = None,
+        custom_procedural_prompt: str | None = None,
         reconcile_threshold: float = 0.3,
         enable_graph_algorithms: bool = False,
         now_fn=None,
@@ -105,6 +108,14 @@ class MemoryEngine:
         self.relation_reconciler = relation_reconciler
         #: P6 usage callback: (operation: str, usage: RunUsage) -> None
         self.usage_callback = usage_callback
+        #: P5 custom prompts (reference `types.py:65-67`): the fact /
+        #: procedural prompt is selected per add() by memory type
+        #: (reference `manager.py:251-253`); the update prompt rides the
+        #: reconciliation call. Only passed to the policy when set, so
+        #: prompt-unaware extractors/reconcilers keep working.
+        self.custom_fact_prompt = custom_fact_prompt
+        self.custom_update_prompt = custom_update_prompt
+        self.custom_procedural_prompt = custom_procedural_prompt
         self.reconcile_threshold = reconcile_threshold
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
@@ -167,11 +178,18 @@ class MemoryEngine:
             graph_name=graph_name, actor_id=actor_id,
             role="user" if actor_id else None,
         )
-        ext = (
-            self.extractor.extract(text)
-            if infer
-            else {"facts": [text], "entities": [], "relations": []}
+        # P5 prompt selection by memory type (reference manager.py:251-253)
+        prompt = (
+            self.custom_procedural_prompt
+            if memory_type == "procedural"
+            else self.custom_fact_prompt
         )
+        if not infer:
+            ext = {"facts": [text], "entities": [], "relations": []}
+        elif prompt is not None:
+            ext = self.extractor.extract(text, prompt=prompt)
+        else:
+            ext = self.extractor.extract(text)
         if self.usage_callback and infer:
             self.usage_callback("extract", RunUsage(calls=1))
         facts = [f for f in ext.get("facts", []) if f]
@@ -201,7 +219,12 @@ class MemoryEngine:
             ]
 
         if infer:
-            rec = self.reconciler.reconcile(facts, candidates)
+            if self.custom_update_prompt is not None:
+                rec = self.reconciler.reconcile(
+                    facts, candidates, prompt=self.custom_update_prompt
+                )
+            else:
+                rec = self.reconciler.reconcile(facts, candidates)
             if self.usage_callback:
                 self.usage_callback("reconcile", RunUsage(calls=1))
             decisions = [

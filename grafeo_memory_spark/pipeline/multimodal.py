@@ -3,12 +3,20 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages (builder brief).
 
 The *Spark-side* machinery is real and tested — schemas, batch
-iteration, partition-preserving transforms, output contracts. The codec
-kernels themselves (JPEG decode, resampling, frame extraction) need
-image/audio libraries that are not in this container, so each kernel is
-a clearly-marked stub: ``decode=...`` defaults to a deterministic fake
-(bytes → stable feature vector) and raises ``NotImplementedError`` if
-the real path is requested without the library installed.
+iteration, partition-preserving transforms, output contracts. Codec
+kernels come in two tiers:
+
+- REAL kernels, stdlib + numpy only (no external image/audio libs
+  needed): BMP and PNG decode/encode (`decode_image`, `encode_bmp`,
+  `encode_png`), nearest-neighbor resize (`real_resize`), and WAV
+  audio features (`real_audio_features`). These are genuine byte-level
+  codecs — zlib inflate + PNG unfiltering, BMP row parsing, RIFF/WAV
+  PCM frames — not fakes.
+- Injectable slots for formats whose codecs genuinely need external
+  libraries (JPEG, MP3, ffmpeg-backed video): pass ``decode=`` /
+  ``resize=`` / ``extract=`` callables; unsupported magic bytes raise
+  ``NotImplementedError`` naming the slot. ``fake_*`` deterministic
+  stand-ins remain for library-free pipeline tests.
 
 Scale notes: binary payloads ride the Arrow batches — tune
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) for
@@ -21,9 +29,14 @@ the most expensive operator per byte in the whole pipeline.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -69,13 +82,198 @@ def fake_image_decode(payload: bytes, dims: int = 8) -> tuple[int, int, list[flo
     return width, height, feats
 
 
-def _real_image_decode(payload: bytes, dims: int = 8):
-    """The production kernel slot. STUB: requires an image library
-    (e.g. Pillow) that is not available in this environment."""
-    raise NotImplementedError(
-        "real image decode needs an imaging library; inject a decode "
-        "callable or use fake_image_decode for tests"
+# --- real codecs (stdlib + numpy; no external libraries) -----------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BI_RGB bottom-up BMP."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 RGB
+    array (bottom-up or top-down rows)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={comp} bpp={bpp} unsupported")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, stride * h, offset).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)[:, :, 2::-1]  # BGR(A)→RGB
+    return img[::-1] if flip else img
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (H, W) gray or (H, W, 3|4) uint8 array as a PNG
+    (8-bit, filter 0, one zlib stream)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG: chunk walk,
+    zlib inflate, scanline unfilter (types 0-4 incl. Paeth). Returns
+    (H, W, 3) uint8 RGB (gray broadcast, alpha dropped)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    w, h, depth, color, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "unsupported — inject a decode kernel"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif ftype == 2:  # Up
+            line = line + prev  # uint8 wraps ≡ mod 256
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the real decoders. JPEG and other formats
+    need an external codec — inject one via the ``decode=`` slot."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no stdlib codec for magic {payload[:4]!r} (JPEG/WebP need an "
+        "injected decode kernel)"
+    )
+
+
+def real_image_decode(payload: bytes, dims: int = 8) -> tuple[int, int, list[float]]:
+    """REAL decode kernel: BMP/PNG bytes → (width, height, features)
+    where features is the L1-normalized ``dims``-bin grayscale
+    histogram — an actual content-derived descriptor."""
+    if payload is None:
+        return 0, 0, [0.0] * dims
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    gray = img.astype(np.float32).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dims, range=(0.0, 256.0))
+    total = max(1, int(hist.sum()))
+    return w, h, [float(c) / total for c in hist]
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize kernel: decode (BMP/PNG), nearest-neighbor resample
+    to (height, width), re-encode as BMP."""
+    if payload is None:
+        return b""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // max(1, height), h - 1)
+    xs = np.minimum((np.arange(width) * w) // max(1, width), w - 1)
+    return encode_bmp(img[ys][:, xs])
+
+
+def real_audio_features(payload: bytes, dims: int = 8) -> tuple[int, list[float]]:
+    """REAL audio kernel: RIFF/WAV PCM bytes → (duration_ms, features)
+    where features is per-segment RMS energy over ``dims`` equal time
+    segments, normalized to full scale. stdlib ``wave`` + numpy."""
+    if payload is None:
+        return 0, [0.0] * dims
+    with wave.open(io.BytesIO(payload)) as wf:
+        nch, sampwidth, rate, nframes = (
+            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(),
+            wf.getnframes(),
+        )
+        frames = wf.readframes(nframes)
+    if sampwidth == 2:
+        samples = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+    elif sampwidth == 1:
+        samples = (np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(
+            f"{8 * sampwidth}-bit WAV needs an injected extract kernel"
+        )
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    duration_ms = int(nframes * 1000 // max(1, rate))
+    if samples.size == 0:
+        return duration_ms, [0.0] * dims
+    feats = [
+        float(np.sqrt(np.mean(np.square(seg)))) if seg.size else 0.0
+        for seg in np.array_split(samples, dims)
+    ]
+    return duration_ms, feats
 
 
 def decode_images(

@@ -46,9 +46,14 @@ class Extractor(Protocol):
 
     Returns ``{"facts": [str], "entities": [{"name", "entity_type"}],
     "relations": [{"source", "target", "relation_type"}]}``.
+
+    ``prompt`` is the P5 custom-prompt slot (reference
+    `extraction/entities.py:74-81`: a custom system prompt replaces the
+    built-in one). The engine only passes it when one is configured, so
+    prompt-unaware extractors keep working unchanged.
     """
 
-    def extract(self, text: str) -> dict[str, Any]: ...
+    def extract(self, text: str, prompt: str | None = None) -> dict[str, Any]: ...
 
 
 @runtime_checkable
@@ -57,10 +62,17 @@ class Reconciler(Protocol):
     similar existing memories (reference `reconciliation/memories.py:68-108`).
 
     Returns ``{"decisions": [{"action", "text", "target_memory_id"}]}``.
+
+    ``prompt`` is the P5 custom-update-prompt slot (reference
+    `types.py:66`, threaded like `extraction/facts.py:36-44`); passed
+    only when configured.
     """
 
     def reconcile(
-        self, facts: list[str], candidates: list[dict[str, Any]]
+        self,
+        facts: list[str],
+        candidates: list[dict[str, Any]],
+        prompt: str | None = None,
     ) -> dict[str, Any]: ...
 
 
@@ -141,8 +153,11 @@ class ScriptedExtractor:
 
     outputs: list[dict[str, Any]]
     _i: int = field(default=0, init=False)
+    #: last P5 prompt the engine passed (None = built-in), for tests
+    last_prompt: str | None = field(default=None, init=False)
 
-    def extract(self, text: str) -> dict[str, Any]:
+    def extract(self, text: str, prompt: str | None = None) -> dict[str, Any]:
+        self.last_prompt = prompt
         if self._i >= len(self.outputs):
             return {"facts": [], "entities": [], "relations": []}
         out = self.outputs[self._i]
@@ -158,10 +173,16 @@ class ScriptedReconciler:
 
     outputs: list[dict[str, Any]] = field(default_factory=list)
     _i: int = field(default=0, init=False)
+    #: last P5 update-prompt the engine passed, for tests
+    last_prompt: str | None = field(default=None, init=False)
 
     def reconcile(
-        self, facts: list[str], candidates: list[dict[str, Any]]
+        self,
+        facts: list[str],
+        candidates: list[dict[str, Any]],
+        prompt: str | None = None,
     ) -> dict[str, Any]:
+        self.last_prompt = prompt
         if self._i < len(self.outputs):
             out = self.outputs[self._i]
             self._i += 1

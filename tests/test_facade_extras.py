@@ -130,3 +130,48 @@ def test_metric_refresh_populates_cached_columns(spark):
     row = eng.store.memories.collect()[0]
     assert row["_pagerank"] is not None and row["_pagerank"] > 0
     assert row["_community"] is not None
+
+
+def test_custom_prompts_reach_policies(spark):
+    # P5 (reference `types.py:65-67`, `manager.py:251-253`): the fact
+    # prompt rides semantic adds, the procedural prompt rides
+    # memory_type='procedural' adds, the update prompt rides every
+    # reconcile call; None means the policy's built-in prompt
+    from grafeo_memory_spark.protocols import ScriptedReconciler
+
+    ext = ScriptedExtractor(
+        outputs=[
+            {"facts": ["f1"], "entities": [], "relations": []},
+            {"facts": ["f2"], "entities": [], "relations": []},
+        ]
+    )
+    rec = ScriptedReconciler()
+    eng = MemoryEngine(
+        spark, extractor=ext, reconciler=rec, now_fn=tick,
+        custom_fact_prompt="FACTS!", custom_update_prompt="UPDATE!",
+        custom_procedural_prompt="STEPS!",
+    )
+    eng.add("semantic thing", user_id="u")
+    assert ext.last_prompt == "FACTS!"
+    assert rec.last_prompt == "UPDATE!"
+    eng.add("procedural thing", user_id="u", memory_type="procedural")
+    assert ext.last_prompt == "STEPS!"
+
+
+def test_no_prompts_keeps_bare_signature(spark):
+    # prompt-unaware policies (positional-only extract/reconcile) must
+    # keep working when no custom prompt is configured
+    class BareExtractor:
+        def extract(self, text):
+            return {"facts": [text], "entities": [], "relations": []}
+
+    class BareReconciler:
+        def reconcile(self, facts, candidates):
+            return {"decisions": [{"action": "ADD", "text": f} for f in facts]}
+
+    eng = MemoryEngine(
+        spark, extractor=BareExtractor(), reconciler=BareReconciler(),
+        now_fn=tick,
+    )
+    res = eng.add("works without prompt kwarg", user_id="u")
+    assert len(res.added_ids) == 1

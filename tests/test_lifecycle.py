@@ -252,3 +252,53 @@ def test_reranker_failure_falls_back(spark):
     scores = [r["score"] for r in got]
     assert scores == sorted(scores, reverse=True)  # original order kept
     assert "rerank" in eng.explain()
+
+
+def test_normalize_decisions_downgrades():
+    # reference validation (`reconciliation/memories.py:44-52`):
+    # UPDATE without a target downgrades to ADD keeping its payload;
+    # DELETE without a target becomes NONE; valid decisions unchanged
+    from grafeo_memory_spark.lifecycle import (
+        ADD,
+        DELETE,
+        NONE,
+        UPDATE,
+        Decision,
+        normalize_decisions,
+    )
+
+    out = normalize_decisions(
+        [
+            Decision(UPDATE, "new text", None, importance=0.7),
+            Decision(DELETE, None, None),
+            Decision(UPDATE, "kept", 5),
+            Decision(DELETE, None, 6),
+            Decision(ADD, "plain"),
+            Decision(NONE),
+        ]
+    )
+    assert [d.action for d in out] == [ADD, NONE, UPDATE, DELETE, ADD, NONE]
+    assert out[0].text == "new text" and out[0].importance == 0.7
+    assert out[0].target_memory_id is None
+    assert out[2].target_memory_id == 5 and out[3].target_memory_id == 6
+
+
+def test_score_config_construction_validation():
+    # construction-time validation (reference `types.py:107-146`):
+    # out-of-range unit knobs raise, off-unit core weight sum only warns
+    import warnings
+
+    with pytest.raises(ValueError):
+        ScoreConfig(weight_similarity=1.5)
+    with pytest.raises(ValueError):
+        ScoreConfig(mmr_lambda=-0.1)
+    with pytest.raises(ValueError):
+        ScoreConfig(decay_rate=0.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ScoreConfig(weight_similarity=0.9, weight_recency=0.9)
+    assert any("core importance weights" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ScoreConfig()  # defaults sum to 1.0 — silent
+    assert not w

@@ -70,3 +70,37 @@ def test_normalize_messages_forms():
     assert text == "system: be brief\nBo (user): look at this"
     assert actor == "Bo"  # last named message wins
     assert imgs == ["http://x/i.png"]
+
+
+def test_normalize_messages_edge_cases():
+    # reference parse_messages edge semantics (`messages.py:30-90`):
+    # bad top-level type raises, non-dict parts are skipped, empty or
+    # missing image URLs are dropped, empty list yields empty text
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        normalize_messages(42)
+
+    text, actor, imgs = normalize_messages([])
+    assert text == "" and actor is None and imgs == []
+
+    text, actor, imgs = normalize_messages(
+        [
+            {
+                "role": "user",
+                "content": [
+                    "stray string part",
+                    {"type": "text", "text": "kept"},
+                    {"type": "image_url", "image_url": {"url": ""}},
+                    {"type": "image_url", "image_url": {}},
+                    {"type": "image_url", "image_url": "http://x/a.png"},
+                ],
+            }
+        ]
+    )
+    assert text == "user: kept"
+    assert imgs == ["http://x/a.png"]
+
+    # role defaults to user; missing content renders empty
+    text, actor, imgs = normalize_messages([{}])
+    assert text == "user: " and actor is None and imgs == []
