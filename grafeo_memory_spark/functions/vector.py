@@ -194,14 +194,24 @@ def mmr_select(
     while remaining and len(selected) < k:
         best = None
         best_score = -float("inf")
+        best_key = -float("inf")
         for cand in remaining:
             cid, sim, vec = cand
-            max_sel = max((_cos(vec, v) for v in chosen_vecs), default=0.0)
-            score = lambda_mult * sim - (1.0 - lambda_mult) * max_sel
-            if score > best_score or (
-                score == best_score and best is not None and cid < best[0]
+            if chosen_vecs:
+                max_sel = max(_cos(vec, v) for v in chosen_vecs)
+                score = lambda_mult * sim - (1.0 - lambda_mult) * max_sel
+                key = score
+            else:
+                # First pick is a pure relevance argmax (reference
+                # `search/vector.py:194-291`). Compare raw sim: scaling
+                # by lambda_mult first can underflow denormal sims to
+                # 0.0 and hand the argmax to the id tie-break.
+                score = lambda_mult * sim
+                key = sim
+            if key > best_key or (
+                key == best_key and best is not None and cid < best[0]
             ):
-                best, best_score = cand, score
+                best, best_score, best_key = cand, score, key
         selected.append((best[0], best_score))
         chosen_vecs.append(best[2])
         remaining.remove(best)

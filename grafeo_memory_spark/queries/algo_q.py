@@ -100,7 +100,7 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT component,
            CAST(count(*) AS BIGINT) AS n_members,
-           list_sort(list(node_id)) AS members
+           array_to_string(list_sort(list(node_id)), ',') AS members
     FROM comp
     GROUP BY component
     HAVING count(*) >= 2
@@ -113,7 +113,9 @@ def q_community_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     (communities.py `connected_components`). The component id is the
     minimum member id, which a DuckDB recursive-CTE reachability closure
     reproduces exactly — so unlike LPA/Louvain, the *membership sets*
-    here are value-checked against SQL (VERDICT r2 item 3)."""
+    here are value-checked against SQL (VERDICT r2 item 3). Members are
+    emitted as a comma-joined STRING on both sides: the driver's pandas
+    canonicalizer cannot hash list-typed cells (VERDICT r3 item 2)."""
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
@@ -126,7 +128,10 @@ def q_community_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("component")
         .agg(
             F.count("*").alias("n_members"),
-            F.sort_array(F.collect_list("node_id")).alias("members"),
+            F.array_join(
+                F.sort_array(F.collect_list("node_id")).cast("array<string>"),
+                ",",
+            ).alias("members"),
         )
         .where(F.col("n_members") >= 2)
         .orderBy("component")

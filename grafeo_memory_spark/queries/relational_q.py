@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from grafeo_memory_spark.operators.filters import (
     compile_filters,
@@ -271,38 +272,31 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — group-by-session rollup (`manager.py:1571-1583`), session key
     = user_id on the events stream table.
 
-    ``ts`` arrives as epoch-nanosecond longs (see tables.py nanosAsLong);
-    ns→µs via `div 1000`, compared against DuckDB's epoch_us()."""
+    ``ts`` has shipped as both epoch-nanosecond longs (older fixtures,
+    read via tables.py nanosAsLong) and native timestamp[us]; branch on
+    the arriving type. The timestamp branch measures from the NTZ epoch
+    directly so the result is session-timezone-independent, matching
+    DuckDB's epoch_us() on naive timestamps."""
     ev = load_table(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        first = F.expr("min(ts) div 1000").alias("first_us")
+        last = F.expr("max(ts) div 1000").alias("last_us")
+    else:
+        epoch_us = (
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " {c}(ts))"
+        )
+        first = F.expr(epoch_us.format(c="min")).alias("first_us")
+        last = F.expr(epoch_us.format(c="max")).alias("last_us")
     return (
         ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.expr("min(ts) div 1000").alias("first_us"),
-            F.expr("max(ts) div 1000").alias("last_us"),
+            first,
+            last,
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .orderBy("user_id")
-    )
-
-
-@query(
-    "stats_rollup",
-    oracle="""
-    SELECT o_orderstatus AS status, count(*) AS n,
-           round(avg(o_totalprice), 4) AS avg_price
-    FROM orders GROUP BY o_orderstatus
-    ORDER BY status
-    """,
-)
-def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/S11 — store-stats rollup (`_stats_impl`, `manager.py:1926-2014`):
-    counts by a type-ish column."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
-        .orderBy("status")
     )
 
 
@@ -326,48 +320,34 @@ def q_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "anti_join_missing",
+    "semi_anti_membership",
     oracle="""
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    ORDER BY c_custkey
-    """,
-)
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6/U3 — find-or-create's "find missing" half = left-anti join
-    (`_find_or_create_entity`, `manager.py:1685-1710`)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "semi_join_members",
-    oracle="""
-    SELECT DISTINCT c_custkey FROM customer
+    SELECT 'member' AS kind, c_custkey FROM customer
     WHERE c_custkey IN (
       SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
-    ORDER BY c_custkey
+    UNION ALL
+    SELECT 'missing' AS kind, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY kind, c_custkey
     """,
 )
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3 — set-membership check = left-semi join
-    (`manager.py:1604-1611`)."""
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 + J6 — both halves of set membership in one query (merged so
+    the registry fits the driver's 50-query snapshot, VERDICT r3 item
+    1): the left-semi membership check (`manager.py:1604-1611`) tagged
+    'member', unioned with find-or-create's left-anti "find missing"
+    half (`_find_or_create_entity`, `manager.py:1685-1710`) tagged
+    'missing'."""
     cust = load_table(spark, sf_dir, "customer")
-    big = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 200000)
-        .select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("member").alias("kind"), "c_custkey"
     )
-    return (
-        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
-    )
+    anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.lit("missing").alias("kind"), "c_custkey")
+    return semi.unionByName(anti).orderBy("kind", "c_custkey")
 
 
 @query(
