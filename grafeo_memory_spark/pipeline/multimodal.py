@@ -8,15 +8,18 @@ kernels come in two tiers:
 
 - REAL kernels, stdlib + numpy only (no external image/audio libs
   needed): BMP and PNG decode/encode (`decode_image`, `encode_bmp`,
-  `encode_png`), nearest-neighbor resize (`real_resize`), and WAV
-  audio features (`real_audio_features`). These are genuine byte-level
-  codecs — zlib inflate + PNG unfiltering, BMP row parsing, RIFF/WAV
-  PCM frames — not fakes.
+  `encode_png`), baseline JPEG decode/encode (`pipeline/jpeg.py` —
+  Huffman entropy coding, IDCT, chroma upsampling per ITU T.81),
+  nearest-neighbor resize (`real_resize`), and WAV audio features
+  (`real_audio_features`). These are genuine byte-level codecs — zlib
+  inflate + PNG unfiltering, JPEG entropy decode, BMP row parsing,
+  RIFF/WAV PCM frames — not fakes.
 - Injectable slots for formats whose codecs genuinely need external
-  libraries (JPEG, MP3, ffmpeg-backed video): pass ``decode=`` /
-  ``resize=`` / ``extract=`` callables; unsupported magic bytes raise
-  ``NotImplementedError`` naming the slot. ``fake_*`` deterministic
-  stand-ins remain for library-free pipeline tests.
+  libraries (WebP/AVIF, progressive JPEG, MP3, ffmpeg-backed video):
+  pass ``decode=`` / ``resize=`` / ``extract=`` callables; unsupported
+  magic bytes raise ``NotImplementedError`` naming the slot.
+  ``fake_*`` deterministic stand-ins remain for library-free pipeline
+  tests.
 
 Scale notes: binary payloads ride the Arrow batches — tune
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) for
@@ -206,14 +209,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to the real decoders. JPEG and other formats
-    need an external codec — inject one via the ``decode=`` slot."""
+    """Magic-byte dispatch to the real decoders (PNG, BMP, baseline
+    JPEG). Other formats (WebP, progressive JPEG) need an external
+    codec — inject one via the ``decode=`` slot."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from grafeo_memory_spark.pipeline.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"no stdlib codec for magic {payload[:4]!r} (JPEG/WebP need an "
+        f"no stdlib codec for magic {payload[:4]!r} (WebP/AVIF need an "
         "injected decode kernel)"
     )
 

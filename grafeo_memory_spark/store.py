@@ -97,6 +97,11 @@ COMMUNITY_SCHEMA = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("summary", T.StringType(), True),
         T.StructField("member_count", T.IntegerType(), True),
+        # member names denormalized onto the community node so an
+        # unchanged-membership rerun can build its CommunityInfo from the
+        # per-community row alone, without re-collecting per-member rows
+        # (communities.py incremental path; VERDICT r3 item 4)
+        T.StructField("member_names", T.ArrayType(T.StringType()), True),
         T.StructField("user_id", T.StringType(), True),
         T.StructField("created_at", T.LongType(), True),
         T.StructField("updated_at", T.LongType(), True),

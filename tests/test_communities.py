@@ -177,6 +177,48 @@ class TestMaterialization:
         hm = st.edges.where(F.col("edge_type") == "HAS_MEMBER")
         assert hm.count() == 3  # old member edges replaced, not appended
 
+    def test_unchanged_rerun_collects_zero_member_rows(self, spark, monkeypatch):
+        # incremental path (VERDICT r3 item 4): the per-member collect is
+        # bounded by the membership DELTA — an unchanged-graph rerun must
+        # not pull a single member row to the driver, and the returned
+        # infos still carry the member names (from the stored row)
+        import grafeo_memory_spark.communities as C
+
+        st = _store_with_entities(spark, {1: "a", 2: "b", 3: "c"}, [(1, 2)])
+        part = _partition(spark, {1: 10, 2: 10, 3: 10})
+        st, _, nid, eid = materialize_communities(
+            st, part, user_id="u", now_ms=1_000, next_node_id=100,
+            next_edge_id=100,
+        )
+
+        seen_cids = []
+        real = C._collect_changed_members
+
+        def spy(memb, changed_cids):
+            seen_cids.append(list(changed_cids))
+            return real(memb, changed_cids)
+
+        monkeypatch.setattr(C, "_collect_changed_members", spy)
+        st, infos, _, _ = materialize_communities(
+            st, part, user_id="u", now_ms=2_000, next_node_id=nid,
+            next_edge_id=eid,
+        )
+        assert seen_cids == [[]]  # no changed communities → no member pull
+        assert infos[0]["member_entities"] == ["a", "b", "c"]
+        # grow the community → only the changed cid's members collect
+        seen_cids.clear()
+        part2 = _partition(spark, {1: 10, 2: 10, 3: 10, 4: 10})
+        ent4 = spark.createDataFrame(
+            [(4, "d", "concept", "u", None)], st.entities.schema
+        )
+        st = st.with_(entities=st.entities.unionByName(ent4))
+        st, infos, _, _ = materialize_communities(
+            st, part2, user_id="u", now_ms=3_000, next_node_id=nid,
+            next_edge_id=eid,
+        )
+        assert seen_cids == [[10]]
+        assert infos[0]["member_entities"] == ["a", "b", "c", "d"]
+
     def test_dissolution_removes_node_and_edges(self, spark):
         st = _store_with_entities(spark, {1: "a", 2: "b", 3: "c", 4: "d"},
                                   [(1, 2), (3, 4)])

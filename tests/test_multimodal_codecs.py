@@ -116,12 +116,20 @@ class TestPng:
 
 
 class TestDispatchAndKernels:
-    def test_dispatch_and_jpeg_slot(self):
+    def test_dispatch_and_injectable_slot(self):
         img = _rng_img(3, 3)
         assert np.array_equal(decode_image(encode_bmp(img)), img)
         assert np.array_equal(decode_image(encode_png(img)), img)
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG magic
+            decode_image(b"RIFF....WEBPVP8 ")  # WebP magic — still a slot
+
+    def test_dispatch_routes_jpeg(self):
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 128, dtype=np.uint8)
+        out = decode_image(encode_jpeg(img, quality=95))
+        assert out.shape == (8, 8, 3)
+        assert np.abs(out.astype(int) - 128).max() <= 2
 
     def test_real_image_decode_histogram(self):
         solid = np.full((4, 5, 3), 200, dtype=np.uint8)
