@@ -51,6 +51,7 @@ from grafeo_memory_spark.protocols import (
     ScriptedReconciler,
     normalize_entity_name,
 )
+from grafeo_memory_spark.tracing import SpanRecorder, trace_operation
 from grafeo_memory_spark.store import (
     EDGE_SCHEMA,
     ENTITY_SCHEMA,
@@ -88,6 +89,7 @@ class MemoryEngine:
         custom_procedural_prompt: str | None = None,
         reconcile_threshold: float = 0.3,
         enable_graph_algorithms: bool = False,
+        instrument: bool = False,
         now_fn=None,
     ):
         self.spark = spark
@@ -119,6 +121,12 @@ class MemoryEngine:
         self.reconcile_threshold = reconcile_threshold
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
+        #: opt-in tracing (reference `types.py:88` instrument flag +
+        #: `_tracing.py` spans): when True, every add() records one span
+        #: per ingest stage into a SpanRecorder (and mirrors to OTel if
+        #: importable); explain_ingest() reads the latest trace. False =
+        #: zero overhead, the reference's default.
+        self.tracer = SpanRecorder() if instrument else None
         self.enable_graph_algorithms = enable_graph_algorithms
         #: G4 dirty flag (reference `manager.py:247,323-324`): set on
         #: every write, cleared when metrics are recomputed lazily
@@ -140,6 +148,27 @@ class MemoryEngine:
         """S1 — open a persisted store directory."""
         return cls(spark, store=load_store(spark, path), **kw)
 
+    def _fire_usage(self, operation: str, usage: "RunUsage") -> None:
+        """Fire the P6 usage callback, swallowing callback errors — a
+        broken accounting hook must never fail the operation itself
+        (reference `_make_usage_collector`, `manager.py:177-192`)."""
+        if self.usage_callback is None:
+            return
+        try:
+            self.usage_callback(operation, usage)
+        except Exception:
+            pass
+
+    def _span(self, name: str, **attributes):
+        """One ingest-stage span (no-op context manager when
+        ``instrument`` is off, reference `_tracing.py` contract)."""
+        return trace_operation(
+            name,
+            enabled=self.tracer is not None,
+            recorder=self.tracer,
+            attributes=attributes or None,
+        )
+
     # ------------------------------------------------------------ add
     def add(
         self,
@@ -159,17 +188,22 @@ class MemoryEngine:
         reconcile (policy) → execute decisions → entity/relation graph →
         session chain + episode provenance."""
         now = self._now_fn()
-        text, actor_id, images = normalize_messages(messages)
+        if self.tracer is not None:
+            self.tracer.begin()
+        with self._span("normalize"):
+            text, actor_id, images = normalize_messages(messages)
         # vision slot (reference `manager.py:218-224`): describe each
         # image via the policy, append "[Image: ...]" lines to the text
         # BEFORE extraction, falling back per image on policy failure
         if images and self.describer is not None:
-            try:
-                descs = self.describer.describe(images)
-                if self.usage_callback:
-                    self.usage_callback("describe_image", RunUsage(calls=len(images)))
-            except Exception:
-                descs = ["[image: undescribed]"] * len(images)
+            with self._span("vision_describe", images=len(images)):
+                try:
+                    descs = self.describer.describe(images)
+                    self._fire_usage(
+                        "describe_image", RunUsage(calls=len(images))
+                    )
+                except Exception:
+                    descs = ["[image: undescribed]"] * len(images)
             image_text = "\n".join(f"[Image: {d}]" for d in descs if d)
             if image_text:
                 text = f"{text}\n{image_text}" if text else image_text
@@ -184,49 +218,56 @@ class MemoryEngine:
             if memory_type == "procedural"
             else self.custom_fact_prompt
         )
-        if not infer:
-            ext = {"facts": [text], "entities": [], "relations": []}
-        elif prompt is not None:
-            ext = self.extractor.extract(text, prompt=prompt)
-        else:
-            ext = self.extractor.extract(text)
-        if self.usage_callback and infer:
-            self.usage_callback("extract", RunUsage(calls=1))
-        facts = [f for f in ext.get("facts", []) if f]
+        with self._span("extract", infer=infer) as sp:
+            if not infer:
+                ext = {"facts": [text], "entities": [], "relations": []}
+            elif prompt is not None:
+                ext = self.extractor.extract(text, prompt=prompt)
+            else:
+                ext = self.extractor.extract(text)
+            if infer:
+                self._fire_usage("extract", RunUsage(calls=1))
+            facts = [f for f in ext.get("facts", []) if f]
+            if sp is not None:
+                sp.attributes["facts"] = len(facts)
         if not facts:
             return ExecResult()
-        vecs = self.embedder.embed(facts)
+        with self._span("embed", facts=len(facts)):
+            vecs = self.embedder.embed(facts)
 
         # V4 reconciliation probe over the current store (k=10/probe)
         candidates: list[dict[str, Any]] = []
-        live = current_view(self.store.memories).where(
-            scope_filter(user_id=user_id, graph_name=graph_name)
-        )
-        if live.take(1) and infer:
-            probes = self.spark.createDataFrame(
-                [(i, v) for i, v in enumerate(vecs)],
-                "probe_id long, qv array<float>",
+        with self._span("reconcile_probe") as sp:
+            live = current_view(self.store.memories).where(
+                scope_filter(user_id=user_id, graph_name=graph_name)
             )
-            cand_df = knn_multi_probe(
-                live, probes, k=10, threshold=self.reconcile_threshold,
-                id_col="id",
-            ).join(
-                self.store.memories.select("id", "text"), "id"
-            )
-            candidates = [
-                {"id": r["id"], "text": r["text"], "score": r["score"]}
-                for r in cand_df.collect()
-            ]
+            if live.take(1) and infer:
+                probes = self.spark.createDataFrame(
+                    [(i, v) for i, v in enumerate(vecs)],
+                    "probe_id long, qv array<float>",
+                )
+                cand_df = knn_multi_probe(
+                    live, probes, k=10, threshold=self.reconcile_threshold,
+                    id_col="id",
+                ).join(
+                    self.store.memories.select("id", "text"), "id"
+                )
+                candidates = [
+                    {"id": r["id"], "text": r["text"], "score": r["score"]}
+                    for r in cand_df.collect()
+                ]
+            if sp is not None:
+                sp.attributes["candidates"] = len(candidates)
 
         if infer:
-            if self.custom_update_prompt is not None:
-                rec = self.reconciler.reconcile(
-                    facts, candidates, prompt=self.custom_update_prompt
-                )
-            else:
-                rec = self.reconciler.reconcile(facts, candidates)
-            if self.usage_callback:
-                self.usage_callback("reconcile", RunUsage(calls=1))
+            with self._span("reconcile", candidates=len(candidates)):
+                if self.custom_update_prompt is not None:
+                    rec = self.reconciler.reconcile(
+                        facts, candidates, prompt=self.custom_update_prompt
+                    )
+                else:
+                    rec = self.reconciler.reconcile(facts, candidates)
+                self._fire_usage("reconcile", RunUsage(calls=1))
             decisions = [
                 Decision(
                     action=d.get("action", "ADD"),
@@ -250,27 +291,33 @@ class MemoryEngine:
                 for f in facts
             ]
 
-        self.store, res, self._next_node_id, self._next_edge_id = (
-            execute_decisions(
-                self.store, decisions, self.embedder,
-                user_id=user_id, now_ms=now,
-                next_node_id=self._next_node_id,
-                next_edge_id=self._next_edge_id,
-                scope=scope,
+        with self._span("execute_decisions", decisions=len(decisions)):
+            self.store, res, self._next_node_id, self._next_edge_id = (
+                execute_decisions(
+                    self.store, decisions, self.embedder,
+                    user_id=user_id, now_ms=now,
+                    next_node_id=self._next_node_id,
+                    next_edge_id=self._next_edge_id,
+                    scope=scope,
+                )
             )
-        )
         new_ids = res.added_ids + res.updated_ids
         mentioned_ids: list[int] = []
         if ext.get("entities"):
-            mentioned_ids = self._store_graph(
-                new_ids, ext["entities"], ext.get("relations", []),
-                user_id=user_id, graph_name=graph_name,
-            )
+            with self._span("store_graph", entities=len(ext["entities"])):
+                mentioned_ids = self._store_graph(
+                    new_ids, ext["entities"], ext.get("relations", []),
+                    user_id=user_id, graph_name=graph_name,
+                )
         if (run_id or session_id) and new_ids:
-            self._link_session_chain(new_ids, user_id, run_id or session_id, now)
-        self._add_episode(
-            text, user_id, session_id, run_id, now, new_ids, mentioned_ids
-        )
+            with self._span("session_chain"):
+                self._link_session_chain(
+                    new_ids, user_id, run_id or session_id, now
+                )
+        with self._span("episode"):
+            self._add_episode(
+                text, user_id, session_id, run_id, now, new_ids, mentioned_ids
+            )
         self._graph_dirty = True
         return res
 
@@ -338,8 +385,7 @@ class MemoryEngine:
                 ).collect()
             ]
             to_delete = self.relation_reconciler(list(relations), existing)
-            if self.usage_callback:
-                self.usage_callback("relation_reconcile", RunUsage(calls=1))
+            self._fire_usage("relation_reconcile", RunUsage(calls=1))
             if to_delete:
                 self.store = delete_relations(self.store, to_delete)
         for r in relations:
@@ -518,8 +564,7 @@ class MemoryEngine:
             rows = [r.asDict() for r in df.collect()]
             try:
                 reranked = self.reranker.rerank(query or "", rows, k)
-                if self.usage_callback:
-                    self.usage_callback("rerank", RunUsage(calls=1))
+                self._fire_usage("rerank", RunUsage(calls=1))
             except Exception:
                 reranked = rows[:k]
             self._last_stages.insert(self._last_stages.index("final"), "rerank")
@@ -532,6 +577,21 @@ class MemoryEngine:
         """Stage trace of the most recent search (reference
         `manager.py:794-834`)."""
         return list(self._last_stages)
+
+    def explain_ingest(self) -> list[dict[str, Any]]:
+        """Span + timing trace of the most recent add() — one step dict
+        per ingest stage (normalize / vision_describe / extract / embed /
+        reconcile_probe / reconcile / execute_decisions / store_graph /
+        session_chain / episode), the ingest-side analogue of explain()
+        (reference `_tracing.py` spans; VERDICT r3 item 8). Requires
+        ``instrument=True``; raises otherwise, matching the reference's
+        opt-in contract."""
+        if self.tracer is None:
+            raise RuntimeError(
+                "instrumentation disabled — construct the engine with "
+                "instrument=True"
+            )
+        return self.tracer.steps()
 
     def refresh_metrics(self, **kw) -> None:
         """G1-G4 — recompute and cache graph metrics on the memories
@@ -584,6 +644,20 @@ class MemoryEngine:
             )
         )
 
+    def save(self, path: str) -> None:
+        """Persist the store to a directory (S1 write half — reopen with
+        :meth:`open`). The reference's db_path close/flush analogue.
+
+        After the write, the engine re-points its Store at the saved
+        snapshot: save_store swaps the parquet directories, so any
+        previously loaded-from-``path`` lineage would reference replaced
+        files; reloading also truncates the union-of-unions lineage a
+        long add() session accumulates."""
+        from grafeo_memory_spark.store import load_store, save_store
+
+        save_store(self.store, path)
+        self.store = load_store(self.spark, path)
+
     def delete_all(self, *, user_id: str) -> int:
         """A7 — bulk delete with count (reference `manager.py:2200-2207`)."""
         victims = [
@@ -598,13 +672,20 @@ class MemoryEngine:
     def history(self, memory_id: int) -> DataFrame:
         return memory_history(self.store, memory_id)
 
-    def stats(self) -> dict[str, Any]:
+    def stats(self, *, graph_name: str | None = None) -> dict[str, Any]:
         """S11 — store stats (reference `_stats_impl`,
-        `manager.py:1926-2014`)."""
+        `manager.py:1926-2014`). ``graph_name`` scopes memories,
+        entities, and relations to one graph, as the reference's
+        config-level graph_name does; episodes stay global (the
+        reference counts episode nodes unscoped)."""
+        mem = current_view(self.store.memories)
+        ent = self.store.entities
+        if graph_name is not None:
+            mem = mem.where(F.col("graph_name") == graph_name)
+            ent = ent.where(F.col("graph_name") == graph_name)
         by_type = {
             r["memory_type"]: r["n"]
-            for r in current_view(self.store.memories)
-            .groupBy(
+            for r in mem.groupBy(
                 F.coalesce(F.col("memory_type"), F.lit("semantic")).alias(
                     "memory_type"
                 )
@@ -612,14 +693,19 @@ class MemoryEngine:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        rel = self.store.edges.where(F.col("edge_type") == "RELATION")
+        if graph_name is not None:
+            # relations whose source entity belongs to the graph
+            # (reference scopes via the source node's graph_name)
+            rel = rel.join(
+                ent.select(F.col("id").alias("src")), "src", "left_semi"
+            )
         return {
             "memories_by_type": by_type,
             "total_memories": sum(by_type.values()),
-            "entities": self.store.entities.count(),
+            "entities": ent.count(),
             "episodes": self.store.episodes.count(),
-            "relations": self.store.edges.where(
-                F.col("edge_type") == "RELATION"
-            ).count(),
+            "relations": rel.count(),
         }
 
     def summarize(
@@ -885,7 +971,7 @@ class MemoryEngine:
                 self.store, parts, user_id=user_id, now_ms=self._now_fn(),
                 next_node_id=self._next_node_id,
                 next_edge_id=self._next_edge_id,
-                summarizer=summarizer, usage_callback=self.usage_callback,
+                summarizer=summarizer, usage_callback=self._fire_usage,
             )
         )
         return infos

@@ -18,6 +18,7 @@ deployment can bucket both sides of traversal joins.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,17 +187,34 @@ def load_store(spark: SparkSession, path: str) -> Store:
 def save_store(store: Store, path: str) -> None:
     """Persist; memories partitioned by user_id (partition pruning for
     F1 scope filters), edges sorted by (edge_type, src) for scan
-    locality on traversal joins."""
+    locality on traversal joins.
+
+    Writes go to a sibling staging directory first, then swap into
+    place per table. A Store loaded from ``path`` holds *lazy* readers
+    over those same parquet files, so an in-place overwrite would
+    delete the files mid-scan (FAILED_READ_FILE) — the open-mutate-save
+    session lifecycle requires snapshot-then-swap. Same pattern scales
+    to object stores: write a new snapshot prefix, flip the pointer.
+    """
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
     store.memories.write.mode("overwrite").partitionBy("user_id").parquet(
-        os.path.join(path, "memories.parquet")
+        os.path.join(staging, "memories.parquet")
     )
     store.edges.sortWithinPartitions("edge_type", "src").write.mode(
         "overwrite"
-    ).parquet(os.path.join(path, "edges.parquet"))
+    ).parquet(os.path.join(staging, "edges.parquet"))
     for name in ("entities", "episodes", "history", "communities"):
         getattr(store, name).write.mode("overwrite").parquet(
-            os.path.join(path, f"{name}.parquet")
+            os.path.join(staging, f"{name}.parquet")
         )
+    os.makedirs(path, exist_ok=True)
+    for name in TABLE_SCHEMAS:
+        dst = os.path.join(path, f"{name}.parquet")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, f"{name}.parquet"), dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def save_edges_bucketed(

@@ -1,0 +1,85 @@
+"""Persistence lifecycle — reference `tests/test_persistence_lifecycle.py`
+(4 tests): data survives save/reopen, search works after reopen, three
+sequential sessions all accumulate, and id counters resume correctly so
+a reopened engine never reuses node/edge ids (VERDICT r3 item 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.manager import MemoryEngine
+
+
+def _add3(eng, user="u"):
+    for t in ("alpha fact", "beta fact", "gamma fact"):
+        eng.add(t, user_id=user, infer=False)
+
+
+class TestPersistenceLifecycle:
+    def test_memories_persist_across_save_reopen(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        _add3(eng)
+        eng.save(path)
+
+        back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
+        texts = {r["text"] for r in back.get_all(user_id="u").collect()}
+        assert texts == {"alpha fact", "beta fact", "gamma fact"}
+
+    def test_search_works_after_reopen(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        _add3(eng)
+        eng.save(path)
+
+        back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
+        hits = back.search("beta fact", user_id="u", k=1).collect()
+        assert len(hits) == 1 and hits[0]["text"] == "beta fact"
+
+    def test_three_sessions_accumulate(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        eng.add("session one", user_id="u", infer=False)
+        eng.save(path)
+        for i, text in enumerate(("session two", "session three"), start=2):
+            eng = MemoryEngine.open(spark, path, now_fn=lambda: i * 1_000)
+            eng.add(text, user_id="u", infer=False)
+            eng.save(path)
+
+        back = MemoryEngine.open(spark, path)
+        texts = {r["text"] for r in back.get_all(user_id="u").collect()}
+        assert texts == {"session one", "session two", "session three"}
+
+    def test_reopened_engine_resumes_id_counters(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        _add3(eng)
+        max_id = eng.store.memories.agg(F.max("id")).collect()[0][0]
+        eng.save(path)
+
+        back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
+        res = back.add("delta fact", user_id="u", infer=False)
+        # fresh ids continue past the persisted max — no collisions
+        assert min(res.added_ids) > max_id
+        ids = [r["id"] for r in back.get_all(user_id="u").collect()]
+        assert len(ids) == len(set(ids)) == 4
+
+    def test_update_and_delete_survive_reopen(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        _add3(eng)
+        ids = sorted(
+            r["id"] for r in eng.get_all(user_id="u").collect()
+        )
+        upd = eng.update(ids[0], "alpha fact v2", user_id="u")
+        eng.delete(ids[1])
+        eng.save(path)
+
+        back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
+        texts = {r["text"] for r in back.get_all(user_id="u").collect()}
+        assert texts == {"alpha fact v2", "gamma fact"}
+        # history of the update survives too (recorded under the NEW id —
+        # lifecycle semantics pinned in test_facade_apis)
+        new_id = upd.updated_ids[0]
+        events = [r["event"] for r in back.history(new_id).collect()]
+        assert "UPDATE" in events
