@@ -43,8 +43,12 @@ def main() -> None:
     spark = get_spark(app_name="grafeo-bench")
     queries = entrymod.queries()
 
-    # Warm-up: JVM, parquet footer reads, codegen caches.
-    _execute(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+    # Warm-up: JVM, parquet footer reads, codegen caches. Touch every
+    # table a first-position query might scan so per-query numbers
+    # reflect the plan, not which query happened to run first.
+    for t in ("region", "embeddings", "documents", "lineitem", "orders",
+              "events"):
+        _execute(spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")))
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -34,10 +34,13 @@ def _build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--json", action="store_true", help="machine-readable JSON output"
     )
+    parser.add_argument(
+        "--version", action="store_true", help="show version and exit"
+    )
     sub = parser.add_subparsers(dest="command")
 
     p_add = sub.add_parser("add", help="Add a memory from text")
-    p_add.add_argument("text")
+    p_add.add_argument("text", help="text to add ('-' reads stdin)")
     p_add.add_argument("--session", default=None, help="session id")
     p_add.add_argument(
         "--type", default=None, dest="memory_type",
@@ -52,10 +55,22 @@ def _build_parser() -> argparse.ArgumentParser:
     p_search.add_argument("query")
     p_search.add_argument("-k", type=int, default=10)
     p_search.add_argument("--include-expired", action="store_true")
+    p_search.add_argument(
+        "--type", default=None, dest="memory_type",
+        choices=("semantic", "episodic", "procedural"),
+    )
+    p_search.add_argument(
+        "--min-score", type=float, default=None,
+        help="minimum score threshold (0.0-1.0)",
+    )
 
     p_list = sub.add_parser("list", help="List all memories")
     p_list.add_argument("--limit", type=int, default=None)
     p_list.add_argument("--include-expired", action="store_true")
+    p_list.add_argument(
+        "--type", default=None, dest="memory_type",
+        choices=("semantic", "episodic", "procedural"),
+    )
 
     p_update = sub.add_parser("update", help="Update a memory's text")
     p_update.add_argument("memory_id", type=int)
@@ -68,6 +83,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p_delete.add_argument(
         "--hard", action="store_true", help="physical delete (default soft)"
+    )
+    p_delete.add_argument(
+        "--yes", "-y", action="store_true",
+        help="skip the interactive confirmation prompt",
     )
 
     p_history = sub.add_parser(
@@ -86,6 +105,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p_explain.add_argument("query")
     p_explain.add_argument("-k", type=int, default=10)
+    p_explain.add_argument(
+        "--type", default=None, dest="memory_type",
+        choices=("semantic", "episodic", "procedural"),
+    )
     return parser
 
 
@@ -109,6 +132,11 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
     in-memory manager)."""
     out = out or sys.stdout
     args = _build_parser().parse_args(argv)
+    if getattr(args, "version", False):
+        from grafeo_memory_spark import __version__
+
+        print(__version__, file=out)
+        return 0
     if args.command is None:
         _build_parser().print_help(file=out)
         return 2
@@ -127,8 +155,9 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
 
     mutated = False
     if args.command == "add":
+        text = sys.stdin.read() if args.text == "-" else args.text
         res = engine.add(
-            args.text, user_id=args.user, session_id=args.session,
+            text, user_id=args.user, session_id=args.session,
             memory_type=args.memory_type, infer=not args.no_infer,
         )
         _print(
@@ -138,9 +167,14 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
         )
         mutated = True
     elif args.command == "search":
+        kw = {}
+        if args.memory_type is not None:
+            kw["memory_type"] = args.memory_type
+        if args.min_score is not None:
+            kw["min_score"] = args.min_score
         df = engine.search(
             args.query, user_id=args.user, k=args.k,
-            include_expired=args.include_expired,
+            include_expired=args.include_expired, **kw,
         )
         _print(
             _rows(df, ["memory_id", "text", "score"]),
@@ -150,6 +184,10 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
         df = engine.get_all(
             user_id=args.user, include_expired=args.include_expired,
             limit=args.limit,
+            filters=(
+                {"memory_type": args.memory_type}
+                if args.memory_type is not None else None
+            ),
         )
         _print(
             _rows(df, ["id", "text", "memory_type", "created_at"]),
@@ -163,6 +201,13 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
         )
         mutated = True
     elif args.command == "delete":
+        # interactive confirmation (reference cli.py --yes): prompt only
+        # on a TTY so scripted/test invocations stay non-blocking
+        if not args.yes and sys.stdin.isatty():  # pragma: no cover
+            target = "ALL memories" if args.all else f"memory {args.memory_id}"
+            if input(f"delete {target} for {args.user}? [y/N] ").lower() != "y":
+                print("aborted", file=out)
+                return 1
         if args.all:
             n = engine.delete_all(user_id=args.user)
             _print({"deleted_count": n}, json_mode=args.json, out=out)
@@ -191,7 +236,11 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
     elif args.command == "stats":
         _print(engine.stats(), json_mode=args.json, out=out)
     elif args.command == "explain":
-        engine.search(args.query, user_id=args.user, k=args.k).collect()
+        kw = (
+            {"memory_type": args.memory_type}
+            if args.memory_type is not None else {}
+        )
+        engine.search(args.query, user_id=args.user, k=args.k, **kw).collect()
         _print(
             {"stages": engine.explain()} if args.json else engine.explain(),
             json_mode=args.json, out=out,

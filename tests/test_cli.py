@@ -86,3 +86,53 @@ def test_explain_and_no_command(spark):
 
     code, out = _run(eng)
     assert code == 2 and "usage" in out.lower()
+
+
+def test_version_flag(spark):
+    from grafeo_memory_spark import __version__
+
+    eng = MemoryEngine(spark, now_fn=tick)
+    code, out = _run(eng, "--version")
+    assert code == 0 and out.strip() == __version__
+
+
+def test_type_filters_on_search_and_list(spark):
+    eng = MemoryEngine(spark, now_fn=tick)
+    _run(eng, "add", "how to deploy", "--no-infer", "--type", "procedural")
+    _run(eng, "add", "likes tea", "--no-infer")
+
+    code, out = _run(eng, "--json", "list", "--type", "procedural")
+    assert [r["text"] for r in _json_lines(out)] == ["how to deploy"]
+
+    code, out = _run(
+        eng, "--json", "search", "deploy", "--type", "procedural"
+    )
+    assert [r["text"] for r in _json_lines(out)] == ["how to deploy"]
+
+
+def test_min_score_filters_results(spark):
+    eng = MemoryEngine(spark, now_fn=tick)
+    _run(eng, "add", "exact phrase", "--no-infer")
+    code, out = _run(
+        eng, "--json", "search", "completely unrelated words",
+        "--min-score", "0.99",
+    )
+    assert code == 0 and _json_lines(out) == []
+
+
+def test_add_from_stdin(spark, monkeypatch):
+    import io as _io
+
+    eng = MemoryEngine(spark, now_fn=tick)
+    monkeypatch.setattr("sys.stdin", _io.StringIO("piped fact"))
+    code, out = _run(eng, "--json", "add", "-", "--no-infer")
+    assert code == 0 and len(_json_lines(out)["added"]) == 1
+    code, out = _run(eng, "--json", "list")
+    assert [r["text"] for r in _json_lines(out)] == ["piped fact"]
+
+
+def test_delete_yes_flag_accepted(spark):
+    eng = MemoryEngine(spark, now_fn=tick)
+    _run(eng, "add", "temp", "--no-infer")
+    code, out = _run(eng, "--json", "delete", "--all", "--yes")
+    assert code == 0 and _json_lines(out)["deleted_count"] == 1
