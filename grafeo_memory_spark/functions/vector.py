@@ -65,11 +65,17 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
     Mirrors `_cosine_similarity` (reference `search/graph.py:24-31`):
     returns 0.0 when either norm is zero rather than NaN.
+
+    Formulated as ``coalesce(dot / nullif(denom, 0), 0)`` rather than a
+    CASE guard: a ``when(denom == 0).otherwise(dot/denom)`` duplicates
+    both norm aggregates into condition AND else-branch, doubling the
+    per-row fold work in the scan's hot loop (visible in
+    `.explain("formatted")`); nullif evaluates each aggregate once.
     """
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    denom = F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+    return F.coalesce(dot(a, b) / denom, F.lit(0.0))
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:

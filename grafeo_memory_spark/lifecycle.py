@@ -100,11 +100,20 @@ def _memory_row(
 
 
 def normalize_decisions(decisions: Sequence[Decision]) -> list[Decision]:
-    """Reference validation (`reconciliation/memories.py:44-52`):
-    UPDATE without target downgrades to ADD; DELETE without target to
-    NONE."""
+    """Reference validation (`reconciliation/memories.py:33-52`): the
+    action string parses case-insensitively and an unknown action
+    downgrades to NONE; UPDATE without target downgrades to ADD; DELETE
+    without target to NONE. Policy output is untrusted — validation
+    never raises, it degrades."""
     out = []
     for d in decisions:
+        action = (d.action or "").upper()
+        if action not in (ADD, UPDATE, DELETE, NONE):
+            action = NONE
+        if action != d.action:
+            d = Decision(action, d.text, d.target_memory_id, d.valid_at,
+                         d.invalid_at, d.metadata, d.memory_type,
+                         d.importance)
         if d.action == UPDATE and d.target_memory_id is None:
             d = Decision(ADD, d.text, None, d.valid_at, d.invalid_at,
                          d.metadata, d.memory_type, d.importance)

@@ -283,6 +283,31 @@ def test_normalize_decisions_downgrades():
     assert out[2].target_memory_id == 5 and out[3].target_memory_id == 6
 
 
+def test_normalize_decisions_action_parse():
+    # reference `reconciliation/memories.py:33-38`: case-insensitive
+    # action parse; unknown actions (and None) degrade to NONE, never
+    # raise — policy output is untrusted
+    from grafeo_memory_spark.lifecycle import (
+        ADD,
+        NONE,
+        UPDATE,
+        Decision,
+        normalize_decisions,
+    )
+
+    out = normalize_decisions(
+        [
+            Decision("add", "lower"),
+            Decision("Update", "mixed", 7),
+            Decision("MERGE", "unknown"),
+            Decision(None, "missing"),
+        ]
+    )
+    assert [d.action for d in out] == [ADD, UPDATE, NONE, NONE]
+    assert out[1].target_memory_id == 7
+    assert out[0].text == "lower"
+
+
 def test_score_config_construction_validation():
     # construction-time validation (reference `types.py:107-146`):
     # out-of-range unit knobs raise, off-unit core weight sum only warns
