@@ -83,9 +83,12 @@ def classify_temporal(query: str) -> TemporalHints:
     return h
 
 
-def parse_date_ms(s: str | None) -> int | None:
+def parse_date_ms(s: str | int | None) -> int | None:
     """X2 — ISO date / ISO datetime / bare year → epoch ms (UTC); None
-    on failure (reference `extraction/temporal.py:26-62`)."""
+    on failure (reference `extraction/temporal.py:26-62`). Epoch-ms
+    ints (already-parsed values riding a decision dict) pass through."""
+    if isinstance(s, (int, float)) and not isinstance(s, bool):
+        return int(s)
     if not s:
         return None
     s = s.strip()

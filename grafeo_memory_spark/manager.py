@@ -28,6 +28,7 @@ from grafeo_memory_spark.functions.scoring import ScoreConfig
 from grafeo_memory_spark.functions.temporal import (
     classify_temporal,
     normalize_messages,
+    parse_date_ms,
 )
 from grafeo_memory_spark.functions.vector import knn_multi_probe
 from grafeo_memory_spark.lifecycle import (
@@ -273,8 +274,11 @@ class MemoryEngine:
                     action=d.get("action", "ADD"),
                     text=d.get("text"),
                     target_memory_id=d.get("target_memory_id"),
-                    valid_at=d.get("valid_at"),
-                    invalid_at=d.get("invalid_at"),
+                    # policies emit dates as ISO strings (reference
+                    # temporal annotation, `extraction/temporal.py`);
+                    # parse here so the store always holds epoch ms
+                    valid_at=parse_date_ms(d.get("valid_at")),
+                    invalid_at=parse_date_ms(d.get("invalid_at")),
                     metadata=json.dumps(metadata) if metadata else None,
                     memory_type=d.get("memory_type", memory_type),
                     importance=d.get("importance"),
