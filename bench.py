@@ -49,6 +49,17 @@ def main() -> None:
     for t in ("region", "embeddings", "documents", "lineitem", "orders",
               "events"):
         _execute(spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")))
+    # also warm the higher-order-function codegen path (cosine folds)
+    # so the first vector query isn't charged its compilation
+    from pyspark.sql import functions as F
+    from grafeo_memory_spark.functions.vector import cosine_similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    _execute(
+        emb.limit(1000).select(
+            cosine_similarity("embedding", "embedding").alias("s")
+        )
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -341,12 +341,18 @@ class MemoryEngine:
         names = {normalize_entity_name(e["name"]): e for e in entities}
         if not names:
             return []
+        # J6 find-or-create match scope (reference
+        # `_find_or_create_entity`, `manager.py:1685-1697`): (name,
+        # user_id) — plus graph_name when one is set, so the same entity
+        # name in two graphs gets two nodes
+        match = (F.lower(F.col("name")).isin(list(names))) & (
+            F.col("user_id") == user_id
+        )
+        if graph_name is not None:
+            match = match & (F.col("graph_name") == graph_name)
         existing = {
             r["name"]: r["id"]
-            for r in self.store.entities.where(
-                (F.lower(F.col("name")).isin(list(names)))
-                & (F.col("user_id") == user_id)
-            )
+            for r in self.store.entities.where(match)
             .select(F.lower(F.col("name")).alias("name"), "id")
             .collect()
         }

@@ -1,0 +1,128 @@
+"""Explain, history, and graph_name breadth — reference
+`tests/test_explain.py` (6), `test_history.py` (8), `test_graph_name.py`
+themes not yet pinned elsewhere (VERDICT r3 item 7)."""
+
+from __future__ import annotations
+
+from grafeo_memory_spark.manager import MemoryEngine
+from grafeo_memory_spark.protocols import ScriptedExtractor
+
+NOW = [1_700_000_000_000]
+
+
+def tick():
+    NOW[0] += 60_000
+    return NOW[0]
+
+
+class TestExplain:
+    def test_explain_has_core_steps(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("a fact", user_id="u", infer=False)
+        eng.search("a fact", user_id="u", k=3).collect()
+        stages = eng.explain()
+        for step in ("scope_filter", "hybrid_search", "merge", "final"):
+            assert step in stages, stages
+
+    def test_explain_reflects_most_recent_search(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("a fact", user_id="u", infer=False)
+        eng.search("a fact", user_id="u", k=3, min_score=0.5).collect()
+        assert "min_score_filter" in eng.explain()
+        eng.search("a fact", user_id="u", k=3).collect()
+        assert "min_score_filter" not in eng.explain()
+
+    def test_explain_empty_store(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        assert eng.search("anything", user_id="u", k=3).count() == 0
+        assert "final" in eng.explain()
+
+    def test_no_topology_steps_by_default(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("a fact", user_id="u", infer=False)
+        eng.search("a fact", user_id="u", k=3).collect()
+        stages = eng.explain()
+        assert "topology_boost" not in stages
+        assert "rerank" not in stages
+
+
+class TestHistory:
+    def test_create_event_recorded_with_actor(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        res = eng.add(
+            [{"role": "user", "name": "alice", "content": "likes jazz"}],
+            user_id="u", infer=False,
+        )
+        rows = eng.history(res.added_ids[0]).collect()
+        assert [r["event"] for r in rows] == ["ADD"]
+        assert rows[0]["actor_id"] == "alice"
+        assert rows[0]["role"] == "user"
+
+    def test_history_in_timestamp_order(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        res = eng.add("v1", user_id="u", infer=False)
+        mid = res.added_ids[0]
+        upd = eng.update(mid, "v2", user_id="u")
+        new_id = upd.updated_ids[0]
+        rows = eng.history(new_id).collect()
+        ts = [r["timestamp"] for r in rows]
+        assert ts == sorted(ts)
+        assert rows[-1]["event"] == "UPDATE"
+        assert rows[-1]["old_text"] == "v1" and rows[-1]["new_text"] == "v2"
+
+    def test_delete_event_recorded(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        res = eng.add("temp", user_id="u", infer=False)
+        mid = res.added_ids[0]
+        eng.delete(mid)
+        events = [r["event"] for r in eng.history(mid).collect()]
+        assert events[-1] == "DELETE"
+
+    def test_empty_for_nonexistent_node(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        assert eng.history(999_999).count() == 0
+
+
+class TestGraphName:
+    def test_memory_and_entity_stamped(self, spark):
+        ext = ScriptedExtractor(
+            outputs=[{
+                "facts": ["bob works at acme"],
+                "entities": [{"name": "bob", "entity_type": "person"}],
+                "relations": [],
+            }]
+        )
+        eng = MemoryEngine(spark, extractor=ext, now_fn=tick)
+        eng.add("bob works at acme", user_id="u", graph_name="work")
+        mem = eng.store.memories.collect()[0]
+        ent = eng.store.entities.collect()[0]
+        assert mem["graph_name"] == "work"
+        assert ent["graph_name"] == "work"
+
+    def test_no_graph_name_leaves_null(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("plain", user_id="u", infer=False)
+        assert eng.store.memories.collect()[0]["graph_name"] is None
+
+    def test_same_entity_name_different_graphs_not_shared(self, spark):
+        out = {
+            "facts": ["acme mention"],
+            "entities": [{"name": "acme", "entity_type": "organization"}],
+            "relations": [],
+        }
+        ext = ScriptedExtractor(outputs=[out, dict(out)])
+        eng = MemoryEngine(spark, extractor=ext, now_fn=tick)
+        eng.add("acme mention", user_id="u", graph_name="g1")
+        eng.add("acme mention", user_id="u", graph_name="g2")
+        ents = eng.store.entities.collect()
+        assert len(ents) == 2
+        assert {e["graph_name"] for e in ents} == {"g1", "g2"}
+
+    def test_search_isolated_between_graphs(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("work secret", user_id="u", graph_name="work", infer=False)
+        eng.add("home secret", user_id="u", graph_name="home", infer=False)
+        hits = eng.search(
+            "secret", user_id="u", k=5, graph_name="work"
+        ).collect()
+        assert [r["text"] for r in hits] == ["work secret"]
