@@ -28,7 +28,9 @@ _SEQUENCE_RE = re.compile(
     re.I,
 )
 _DURATION_RE = re.compile(
-    r"\b(how long|since when|for how many|duration|until when)\b", re.I
+    r"\b(how long|since when|for how many|how many days|how much time|"
+    r"elapsed|duration|until when)\b",
+    re.I,
 )
 _POINT_RE = re.compile(
     r"\b(as of|on (\d{4}-\d{2}-\d{2})|in (\d{4})\b|at that point)\b", re.I
@@ -70,6 +72,10 @@ def classify_temporal(query: str) -> TemporalHints:
         h.signals.append("duration")
         h.sort_chronologically = True
         h.expand_limit = True
+        # a time-difference question needs BOTH endpoints, and the
+        # earlier one is usually superseded (reference timediff hint,
+        # `temporal.py:70-74`)
+        h.include_expired = True
     if _POINT_RE.search(query):
         h.signals.append("point_in_time")
         # the phrase and the date may be separate tokens ("as of 2023"):

@@ -104,3 +104,48 @@ def test_normalize_messages_edge_cases():
     # role defaults to user; missing content renders empty
     text, actor, imgs = normalize_messages([{}])
     assert text == "user: " and actor is None and imgs == []
+
+
+class TestTemporalHintsBreadth:
+    """Reference `tests/test_temporal.py` TestTemporalHints cases."""
+
+    def test_no_temporal_keywords(self):
+        h = classify_temporal("Where does Alice work?")
+        assert not h.is_temporal
+        assert not h.include_expired
+        assert not h.sort_chronologically
+
+    def test_when_keyword_sorts_chronologically(self):
+        h = classify_temporal("When did Alice move to NYC?")
+        assert h.is_temporal and h.sort_chronologically
+
+    def test_used_to_includes_expired(self):
+        h = classify_temporal("Where did Alice used to work?")
+        assert h.include_expired and h.is_temporal
+
+    def test_previously_includes_expired(self):
+        h = classify_temporal("What did the user previously believe?")
+        assert h.include_expired
+
+    def test_first_sorts_chronologically(self):
+        h = classify_temporal("What was the first thing Alice said?")
+        assert h.sort_chronologically
+
+    def test_how_many_days_duration(self):
+        h = classify_temporal(
+            "How many days between the move and the new job?"
+        )
+        assert h.expand_limit and "duration" in h.signals
+        assert h.include_expired  # both endpoints, earlier one expired
+
+    def test_changed_includes_expired(self):
+        h = classify_temporal("Has Alice's job changed?")
+        assert h.include_expired
+
+    def test_after_is_temporal(self):
+        h = classify_temporal("What happened after the meeting?")
+        assert h.is_temporal
+
+    def test_no_false_positive(self):
+        h = classify_temporal("Tell me about quantum physics")
+        assert not h.is_temporal
