@@ -583,6 +583,22 @@ class MemoryEngine:
             df = self.spark.createDataFrame(reranked, df.schema)
         return df
 
+    def search_grouped(
+        self, query: str | None = None, **kw
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Session-grouped search (reference ``search(grouped=True)``,
+        `manager.py:1571-1583,2175`): the top-k results bucketed by
+        session_id ('default' for none), chronological within each
+        group. Grouping the ≤k final rows is inherently driver work —
+        the distributed part is the search itself."""
+        rows = [r.asDict() for r in self.search(query, **kw).collect()]
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for r in rows:
+            groups.setdefault(r.get("session_id") or "default", []).append(r)
+        for sid in groups:
+            groups[sid].sort(key=lambda r: r.get("created_at") or 0)
+        return groups
+
     def explain(self) -> list[str]:
         """Stage trace of the most recent search (reference
         `manager.py:794-834`)."""

@@ -126,3 +126,33 @@ class TestGraphName:
             "secret", user_id="u", k=5, graph_name="work"
         ).collect()
         assert [r["text"] for r in hits] == ["work secret"]
+
+
+class TestGroupedSearch:
+    """Reference `search(grouped=True)` (`manager.py:1571-1583,2175`)."""
+
+    def test_grouped_buckets_by_session_chronologically(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("s1 second fact", user_id="u", session_id="s1", infer=False)
+        eng.add("s2 only fact", user_id="u", session_id="s2", infer=False)
+        eng.add("s1 first fact", user_id="u", session_id="s1", infer=False)
+        groups = eng.search_grouped("fact", user_id="u", k=10)
+        assert set(groups) == {"s1", "s2"}
+        s1 = [r["text"] for r in groups["s1"]]
+        # chronological within the group, regardless of score order
+        assert s1 == ["s1 second fact", "s1 first fact"]
+        assert [r["text"] for r in groups["s2"]] == ["s2 only fact"]
+
+    def test_no_session_goes_to_default_group(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("loose fact", user_id="u", infer=False)
+        groups = eng.search_grouped("loose fact", user_id="u", k=5)
+        assert list(groups) == ["default"]
+
+
+class TestLearnedAt:
+    def test_learned_at_defaults_to_created_at(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("a fact", user_id="u", infer=False)
+        row = eng.store.memories.collect()[0]
+        assert row["learned_at"] == row["created_at"]
