@@ -525,6 +525,7 @@ class MemoryEngine:
         query_vec: Sequence[float] | None = None,
         anchor_entity_names: Sequence[str] | None = None,
         k: int = 10,
+        update_access_stats: bool = False,
         **kw,
     ) -> DataFrame:
         """Retrieval (reference `_search` `manager.py:522-792`): X1
@@ -581,7 +582,38 @@ class MemoryEngine:
             if not reranked:
                 return df.limit(0)
             df = self.spark.createDataFrame(reranked, df.schema)
+        if update_access_stats:
+            # reference semantics (`scoring.py:115-121`): serving a
+            # result counts as an access. Materialize the ≤k rows once,
+            # write the stats back, return the materialized frame so
+            # the caller doesn't re-run the pipeline against the
+            # now-mutated store.
+            rows = df.collect()
+            self.record_access([r["memory_id"] for r in rows])
+            df = self.spark.createDataFrame(rows, df.schema)
         return df
+
+    def record_access(
+        self, memory_ids: Sequence[int], *, now_ms: int | None = None
+    ) -> None:
+        """A6 — bump access_count and stamp last_accessed for the given
+        memories (reference `apply_importance_scoring` write-back,
+        `scoring.py:115-121`). The id list is the ≤k search results, so
+        the rewrite is a literal IN-list over one column — no shuffle."""
+        if not memory_ids:
+            return
+        now = now_ms if now_ms is not None else self._now_fn()
+        ids = [int(i) for i in memory_ids]
+        hit = F.col("id").isin(ids)
+        mem = self.store.memories.withColumn(
+            "access_count",
+            F.when(hit, F.coalesce(F.col("access_count"), F.lit(0)) + 1)
+            .otherwise(F.col("access_count")),
+        ).withColumn(
+            "last_accessed",
+            F.when(hit, F.lit(now)).otherwise(F.col("last_accessed")),
+        )
+        self.store = self.store.with_(memories=mem)
 
     def search_grouped(
         self, query: str | None = None, **kw

@@ -156,3 +156,38 @@ class TestLearnedAt:
         eng.add("a fact", user_id="u", infer=False)
         row = eng.store.memories.collect()[0]
         assert row["learned_at"] == row["created_at"]
+
+
+class TestAccessStats:
+    """A6 write-back (reference `scoring.py:115-121`): serving a search
+    result increments access_count and stamps last_accessed."""
+
+    def test_search_updates_access_stats_when_enabled(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("popular fact", user_id="u", infer=False)
+        eng.add("unrelated thing entirely", user_id="u", infer=False)
+        for _ in range(2):
+            eng.search(
+                "popular fact", user_id="u", k=1, update_access_stats=True
+            ).collect()
+        rows = {r["text"]: r for r in eng.store.memories.collect()}
+        hit = rows["popular fact"]
+        assert hit["access_count"] == 2
+        assert hit["last_accessed"] is not None
+        assert rows["unrelated thing entirely"]["access_count"] == 0
+
+    def test_search_read_only_by_default(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("a fact", user_id="u", infer=False)
+        eng.search("a fact", user_id="u", k=1).collect()
+        assert eng.store.memories.collect()[0]["access_count"] == 0
+
+    def test_frequency_feeds_back_into_ranking(self, spark):
+        # repeated access raises the composite score via frequency
+        eng = MemoryEngine(spark, now_fn=tick)
+        eng.add("twin fact alpha", user_id="u", infer=False)
+        eng.record_access(
+            [eng.store.memories.collect()[0]["id"]] * 1
+        )
+        row = eng.store.memories.collect()[0]
+        assert row["access_count"] == 1
