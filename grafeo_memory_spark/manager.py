@@ -526,6 +526,7 @@ class MemoryEngine:
         anchor_entity_names: Sequence[str] | None = None,
         k: int = 10,
         update_access_stats: bool = False,
+        diverse: bool = False,
         **kw,
     ) -> DataFrame:
         """Retrieval (reference `_search` `manager.py:522-792`): X1
@@ -565,12 +566,18 @@ class MemoryEngine:
         # driver work), cut back to k. Falls back to the original order
         # on policy failure, like the reference.
         fetch_k = k * 2 if self.reranker else k
+        if diverse:
+            # V3 — MMR needs a candidate pool to diversify over
+            # (reference fetch_k = 4k, `search/vector.py:194-291`)
+            fetch_k = max(fetch_k, k * 4)
         req = SearchRequest(
             query_vec=query_vec, k=fetch_k,
             anchor_entity_names=anchor_entity_names,
             now_ms=self._now_fn(), config=self.config, **req_kw,
         )
         df, self._last_stages = search_pipeline(self.store, req)
+        if diverse:
+            df = self._mmr_diversify(df, query_vec, k)
         if self.reranker:
             rows = [r.asDict() for r in df.collect()]
             try:
@@ -592,6 +599,52 @@ class MemoryEngine:
             self.record_access([r["memory_id"] for r in rows])
             df = self.spark.createDataFrame(rows, df.schema)
         return df
+
+    def _mmr_diversify(self, df: DataFrame, query_vec, k: int) -> DataFrame:
+        """V3 — diverse search (reference `diverse_search`,
+        `search/vector.py:194-291`): greedy MMR over the ≤4k pipeline
+        candidates. The distributed part already reduced the store to
+        this pool; the selection loop is inherently sequential driver
+        work over ~40 rows, the same split the reference engine uses.
+        The returned score is the MMR score, in selection order."""
+        from grafeo_memory_spark.functions.vector import mmr_select
+
+        rows = [r.asDict() for r in df.collect()]
+        if not rows:
+            return df
+        ids = [r["memory_id"] for r in rows]
+        embs = {
+            r["id"]: list(r["embedding"])
+            for r in self.store.memories.where(F.col("id").isin(ids))
+            .select("id", "embedding")
+            .collect()
+        }
+        qv = list(query_vec)
+
+        def _cos(a, b):
+            import math as _m
+
+            dp = sum(x * y for x, y in zip(a, b))
+            na = _m.sqrt(sum(x * x for x in a))
+            nb = _m.sqrt(sum(x * x for x in b))
+            return 0.0 if na == 0 or nb == 0 else dp / (na * nb)
+
+        cands = [
+            (r["memory_id"], _cos(qv, embs.get(r["memory_id"], [])),
+             embs.get(r["memory_id"], []))
+            for r in rows
+        ]
+        sel = mmr_select(cands, qv, k=k, lambda_mult=self.config.mmr_lambda)
+        by_id = {r["memory_id"]: r for r in rows}
+        out = []
+        for mid, score in sel:
+            d = dict(by_id[mid])
+            d["score"] = float(score)
+            out.append(d)
+        self._last_stages.insert(
+            self._last_stages.index("final"), "mmr_diversify"
+        )
+        return self.spark.createDataFrame(out, df.schema)
 
     def record_access(
         self, memory_ids: Sequence[int], *, now_ms: int | None = None

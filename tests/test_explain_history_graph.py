@@ -191,3 +191,66 @@ class TestAccessStats:
         )
         row = eng.store.memories.collect()[0]
         assert row["access_count"] == 1
+
+
+class _StubEmbedder:
+    """Maps known texts to crafted unit-ish vectors so MMR geometry is
+    deterministic (HashEmbedder vectors are not semantic)."""
+
+    def __init__(self, table, dims=2):
+        self.table = table
+        self._dims = dims
+
+    @property
+    def dimensions(self):
+        return self._dims
+
+    def embed(self, texts):
+        return [list(self.table[t]) for t in texts]
+
+
+class TestDiverseSearch:
+    """V3 via the facade (reference `search(diverse=True)` ->
+    `diverse_search`, `search/vector.py:194-291`)."""
+
+    _TABLE = {
+        "find coffee": [0.9, 0.44],
+        "coffee brewing notes": [1.0, 0.0],
+        "gardening in spring": [0.0, 1.0],
+    }
+
+    def test_diverse_returns_k_and_stage(self, spark):
+        eng = MemoryEngine(
+            spark, embedder=_StubEmbedder(self._TABLE), now_fn=tick
+        )
+        for t in ("coffee brewing notes", "gardening in spring"):
+            eng.add(t, user_id="u", infer=False)
+        rows = eng.search(
+            "find coffee", user_id="u", k=2, diverse=True
+        ).collect()
+        assert len(rows) == 2
+        assert "mmr_diversify" in eng.explain()
+        # first pick is the pure relevance argmax
+        assert rows[0]["text"] == "coffee brewing notes"
+
+    def test_diverse_prefers_spread_over_exact_duplicate(self, spark):
+        eng = MemoryEngine(
+            spark, embedder=_StubEmbedder(self._TABLE), now_fn=tick
+        )
+        eng.add("coffee brewing notes", user_id="u", infer=False)
+        eng.add("coffee brewing notes", user_id="u", infer=False)  # dup
+        eng.add("gardening in spring", user_id="u", infer=False)
+        rows = eng.search(
+            "find coffee", user_id="u", k=2, diverse=True
+        ).collect()
+        texts = [r["text"] for r in rows]
+        # the exact duplicate's diversity penalty (sim-to-chosen = 1.0)
+        # outweighs gardening's lower query similarity at lambda 0.5
+        assert texts == ["coffee brewing notes", "gardening in spring"]
+
+    def test_empty_store_diverse(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        assert (
+            eng.search("anything", user_id="u", k=3, diverse=True).count()
+            == 0
+        )
