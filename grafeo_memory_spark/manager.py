@@ -817,6 +817,14 @@ class MemoryEngine:
             "entities": ent.count(),
             "episodes": self.store.episodes.count(),
             "relations": rel.count(),
+            "communities": self.store.communities.count(),
+            # reference MemoryStats.db_info (`types.py:267`): engine
+            # introspection, deliberately without a total node count
+            # (reference test_stats_db_info_has_no_total_node_count)
+            "db_info": {
+                "engine": "pyspark",
+                "version": self.spark.version,
+            },
         }
 
     def summarize(

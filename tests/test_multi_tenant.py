@@ -88,3 +88,32 @@ class TestMultiTenant:
         # both tenants' single-memory graphs are structurally identical
         # → identical metric values (no cross-tenant edge inflation)
         assert rows["u1"] == rows["u2"]
+
+
+class TestStatsShape:
+    """Reference MemoryStats fields (`types.py:256-267`)."""
+
+    def test_stats_includes_community_and_db_info(self, spark):
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        st = eng.stats()
+        assert st["communities"] == 0
+        assert st["db_info"]["engine"] == "pyspark"
+        assert "version" in st["db_info"]
+        # deliberately no raw total-node count in db_info (reference
+        # test_stats_db_info_has_no_total_node_count)
+        assert "total_node_count" not in st["db_info"]
+
+    def test_stats_community_count_after_detect(self, spark):
+        ext = ScriptedExtractor(
+            outputs=[{
+                "facts": ["a knows b"],
+                "entities": [{"name": "a", "entity_type": "person"},
+                             {"name": "b", "entity_type": "person"}],
+                "relations": [{"source": "a", "target": "b",
+                               "relation_type": "knows"}],
+            }]
+        )
+        eng = MemoryEngine(spark, extractor=ext, now_fn=lambda: 1_000)
+        eng.add("a knows b", user_id="u")
+        eng.detect_communities(user_id="u")
+        assert eng.stats()["communities"] == 1
