@@ -44,11 +44,47 @@ def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("communities_lpa")  # iterative fixpoint — rows-only check
+@query(
+    "communities_lpa",
+    oracle=f"""
+    WITH RECURSIVE und AS (
+      SELECT src, dst FROM {_EDG} WHERE edge_type = 'RELATION'
+      UNION
+      SELECT dst, src FROM {_EDG} WHERE edge_type = 'RELATION'
+    ),
+    lpa(it, node_id, community) AS (
+      SELECT 0, src, src FROM (SELECT DISTINCT src FROM und)
+      UNION ALL
+      SELECT it + 1, node_id,
+             max_by(community, votes * 1000000000000 - community)
+      FROM (
+        SELECT l.it AS it, u.src AS node_id, l.community AS community,
+               count(*) AS votes
+        FROM lpa l JOIN und u ON u.dst = l.node_id
+        WHERE l.it < 10
+        GROUP BY l.it, u.src, l.community
+      )
+      GROUP BY it, node_id
+    )
+    SELECT community, CAST(count(*) AS BIGINT) AS n_members
+    FROM lpa WHERE it = 10
+    GROUP BY community HAVING count(*) >= 2
+    ORDER BY n_members DESC, community ASC
+    """,
+)
 def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — label-propagation communities over the RELATION graph
     (Louvain stand-in, reference `communities.py:32-200`): community
-    sizes ≥2, the reference's formation threshold (A5)."""
+    sizes ≥2, the reference's formation threshold (A5).
+
+    Hash-verified (not rows-only): synchronous LPA is pure integer
+    arithmetic — each round every node adopts its most-voted neighbor
+    label (ties → smallest) — so a DuckDB recursive CTE replays the
+    exact rounds. Fixed 10 levels ≡ Spark's max_iter=10 with early
+    exit: past the fixpoint every further round reproduces the same
+    labels, so round-10 output is identical either way. The argmax is
+    ``max_by(community, votes·1e12 − community)`` — votes descending
+    then community ascending, matching operators' row_number window."""
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
