@@ -262,13 +262,24 @@ class MemoryEngine:
 
         if infer:
             with self._span("reconcile", candidates=len(candidates)):
-                if self.custom_update_prompt is not None:
-                    rec = self.reconciler.reconcile(
-                        facts, candidates, prompt=self.custom_update_prompt
-                    )
-                else:
-                    rec = self.reconciler.reconcile(facts, candidates)
-                self._fire_usage("reconcile", RunUsage(calls=1))
+                try:
+                    if self.custom_update_prompt is not None:
+                        rec = self.reconciler.reconcile(
+                            facts, candidates,
+                            prompt=self.custom_update_prompt,
+                        )
+                    else:
+                        rec = self.reconciler.reconcile(facts, candidates)
+                    self._fire_usage("reconcile", RunUsage(calls=1))
+                except Exception:
+                    # policy failure falls back to ADD-everything rather
+                    # than losing the facts (reference
+                    # `reconciliation/memories.py:98-104`)
+                    rec = {
+                        "decisions": [
+                            {"action": "ADD", "text": f} for f in facts
+                        ]
+                    }
             decisions = [
                 Decision(
                     action=d.get("action", "ADD"),

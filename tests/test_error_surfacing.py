@@ -79,3 +79,37 @@ class TestDimensionValidation:
         eng = MemoryEngine(spark)
         with pytest.raises(ValueError):
             eng.search(user_id="u")
+
+
+class TestPolicyFallbacks:
+    """Policy (LLM-boundary) failures degrade, data-path failures
+    propagate — the reference's split (`reconciliation/memories.py:
+    98-104` vs embedder errors)."""
+
+    def test_reconciler_error_falls_back_to_add(self, spark):
+        ext = ScriptedExtractor(
+            outputs=[{"facts": ["resilient fact"], "entities": [],
+                      "relations": []}]
+        )
+
+        class Boom:
+            def reconcile(self, facts, candidates, prompt=None):
+                raise RuntimeError("llm down")
+
+        eng = MemoryEngine(
+            spark, extractor=ext, reconciler=Boom(), now_fn=lambda: 1_000
+        )
+        res = eng.add("resilient fact", user_id="u")
+        assert len(res.added_ids) == 1  # fact not lost
+        texts = [r["text"] for r in eng.get_all(user_id="u").collect()]
+        assert texts == ["resilient fact"]
+
+    def test_reranker_error_falls_back_to_original_order(self, spark):
+        class Boom:
+            def rerank(self, q, rows, k):
+                raise RuntimeError("rerank down")
+
+        eng = MemoryEngine(spark, reranker=Boom(), now_fn=lambda: 1_000)
+        eng.add("a fact", user_id="u", infer=False)
+        rows = eng.search("a fact", user_id="u", k=1).collect()
+        assert len(rows) == 1  # degraded, not broken
