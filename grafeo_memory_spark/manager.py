@@ -222,12 +222,18 @@ class MemoryEngine:
         with self._span("extract", infer=infer) as sp:
             if not infer:
                 ext = {"facts": [text], "entities": [], "relations": []}
-            elif prompt is not None:
-                ext = self.extractor.extract(text, prompt=prompt)
             else:
-                ext = self.extractor.extract(text)
-            if infer:
-                self._fire_usage("extract", RunUsage(calls=1))
+                # extraction is policy: a failing extractor yields an
+                # empty extraction (the add becomes a no-op) rather than
+                # raising (reference `extraction/facts.py:47-51`)
+                try:
+                    if prompt is not None:
+                        ext = self.extractor.extract(text, prompt=prompt)
+                    else:
+                        ext = self.extractor.extract(text)
+                    self._fire_usage("extract", RunUsage(calls=1))
+                except Exception:
+                    ext = {"facts": [], "entities": [], "relations": []}
             facts = [f for f in ext.get("facts", []) if f]
             if sp is not None:
                 sp.attributes["facts"] = len(facts)

@@ -113,3 +113,13 @@ class TestPolicyFallbacks:
         eng.add("a fact", user_id="u", infer=False)
         rows = eng.search("a fact", user_id="u", k=1).collect()
         assert len(rows) == 1  # degraded, not broken
+
+    def test_extractor_error_yields_empty_add(self, spark):
+        class Boom:
+            def extract(self, text, prompt=None):
+                raise RuntimeError("llm down")
+
+        eng = MemoryEngine(spark, extractor=Boom(), now_fn=lambda: 1_000)
+        res = eng.add("some text", user_id="u")
+        assert not res.added_ids  # no-op, not an exception
+        assert eng.get_all(user_id="u").count() == 0
