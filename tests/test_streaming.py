@@ -142,3 +142,55 @@ def test_stateful_session_summaries_stream(spark, tmp_path):
     assert rows[("u", "s2")]["n_events"] == 1
     assert rows[("u", "s2")]["last_ts"] == T0 + 15
     assert not rows[("u", "s1")]["closed"]
+
+
+def test_sink_restart_resumes_from_persisted_state(spark, tmp_path):
+    # a NEW sink instance over the same state dir picks up the tails a
+    # previous instance wrote — recovery is state-table-driven, nothing
+    # lives on the driver (T1/T2 restart semantics)
+    from grafeo_memory_spark.streaming.session_chain import SessionChainSink
+
+    links = os.path.join(str(tmp_path), "links")
+    state = os.path.join(str(tmp_path), "state")
+    first = SessionChainSink(links_path=links, state_path=state)
+    first(_events(spark, [(1, T0 + 1000, "u1", "s1"),
+                          (2, T0 + 2000, "u1", "s1")]), 0)
+
+    second = SessionChainSink(links_path=links, state_path=state)
+    second(_events(spark, [(3, T0 + 3000, "u1", "s1")]), 1)
+    got = {(r["src_event"], r["dst_event"])
+           for r in second.links(spark).collect()}
+    assert got == {(1, 2), (2, 3)}  # cross-instance chain is unbroken
+
+
+def test_sink_batch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch may replay a batch id after failure: the per-batch
+    # overwrite directory makes the replay converge, not duplicate
+    from grafeo_memory_spark.streaming.session_chain import SessionChainSink
+
+    links = os.path.join(str(tmp_path), "links")
+    state = os.path.join(str(tmp_path), "state")
+    sink = SessionChainSink(links_path=links, state_path=state)
+    b0 = _events(spark, [(1, T0 + 1000, "u1", "s1"),
+                         (2, T0 + 2000, "u1", "s1")])
+    sink(b0, 0)
+    sink(b0, 0)  # replay same batch id
+    got = [(r["src_event"], r["dst_event"])
+           for r in sink.links(spark).collect()]
+    assert got == [(1, 2)]  # once, not twice
+
+
+def test_state_versions_pruned(spark, tmp_path):
+    from grafeo_memory_spark.streaming.session_chain import SessionChainSink
+
+    links = os.path.join(str(tmp_path), "links")
+    state = os.path.join(str(tmp_path), "state")
+    sink = SessionChainSink(links_path=links, state_path=state,
+                            keep_versions=2)
+    for i in range(4):
+        sink(_events(spark, [(10 + i, T0 + (i + 1) * 1000, "u1", "s1")]), i)
+    assert sink._versions() == [2, 3]  # bounded state history
+    # and the surviving state is still correct
+    tails = [(r["session_id"], r["event_id"])
+             for r in sink.tails(spark).collect()]
+    assert tails == [("s1", 13)]
