@@ -28,6 +28,7 @@ def memory_config(ctx: Any = None) -> str:
             "enable_graph_algorithms": getattr(
                 manager, "enable_graph_algorithms", False
             ),
+            "instrument": getattr(manager, "tracer", None) is not None,
         },
         default=str,
     )
