@@ -90,6 +90,7 @@ class MemoryEngine:
         custom_procedural_prompt: str | None = None,
         reconcile_threshold: float = 0.3,
         enable_graph_algorithms: bool = False,
+        enable_episodes: bool = False,
         instrument: bool = False,
         now_fn=None,
     ):
@@ -129,6 +130,10 @@ class MemoryEngine:
         #: zero overhead, the reference's default.
         self.tracer = SpanRecorder() if instrument else None
         self.enable_graph_algorithms = enable_graph_algorithms
+        #: episodic provenance recording is opt-in (reference
+        #: `types.py:103` enable_episodes=False): every add() also
+        #: writes an Episode node + PRODUCED/MENTIONS edges when on
+        self.enable_episodes = enable_episodes
         #: G4 dirty flag (reference `manager.py:247,323-324`): set on
         #: every write, cleared when metrics are recomputed lazily
         self._graph_dirty = True
@@ -335,10 +340,12 @@ class MemoryEngine:
                 self._link_session_chain(
                     new_ids, user_id, run_id or session_id, now
                 )
-        with self._span("episode"):
-            self._add_episode(
-                text, user_id, session_id, run_id, now, new_ids, mentioned_ids
-            )
+        if self.enable_episodes:
+            with self._span("episode"):
+                self._add_episode(
+                    text, user_id, session_id, run_id, now, new_ids,
+                    mentioned_ids,
+                )
         self._graph_dirty = True
         return res
 

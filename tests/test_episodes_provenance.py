@@ -23,6 +23,7 @@ def _mk(spark, **kw):
         t[0] += 1000
         return t[0]
 
+    kw.setdefault("enable_episodes", True)
     return MemoryEngine(spark, now_fn=now, **kw)
 
 
@@ -165,3 +166,15 @@ def test_usage_callback_counts_policy_calls(spark):
     )
     eng.add("a fact", user_id="u")  # extract + reconcile
     assert ("extract", 1) in seen and ("reconcile", 1) in seen
+
+
+def test_episodes_not_created_when_disabled(spark):
+    # reference `types.py:103`: enable_episodes defaults to False — a
+    # plain add writes no Episode node and no PRODUCED edges
+    eng = _mk(spark, enable_episodes=False)
+    eng.add("no provenance", user_id="u", infer=False)
+    assert eng.store.episodes.count() == 0
+    assert (
+        eng.store.edges.where(F.col("edge_type") == "PRODUCED").count() == 0
+    )
+    assert eng.get_episodes(user_id="u").count() == 0

@@ -25,6 +25,7 @@ def _mk(spark, **kw):
         t[0] += 1000
         return t[0]
 
+    kw.setdefault("enable_episodes", True)
     return MemoryEngine(spark, now_fn=now, **kw)
 
 

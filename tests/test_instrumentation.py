@@ -26,6 +26,7 @@ def _engine(spark, **kw):
             }
         ]
     )
+    kw.setdefault("enable_episodes", True)
     return MemoryEngine(spark, extractor=ext, now_fn=lambda: 1_000, **kw)
 
 

@@ -21,7 +21,7 @@ def tick():
 
 @pytest.fixture()
 def engine(spark):
-    return MemoryEngine(spark, now_fn=tick)
+    return MemoryEngine(spark, now_fn=tick, enable_episodes=True)
 
 
 def test_add_then_search_finds_it(engine):
