@@ -154,6 +154,28 @@ class MemoryEngine:
         """S1 — open a persisted store directory."""
         return cls(spark, store=load_store(spark, path), **kw)
 
+    @classmethod
+    def yolo(cls, spark: SparkSession, **kw) -> "MemoryEngine":
+        """Every optional feature on (reference `MemoryConfig.yolo`,
+        `types.py:148-171`): graph-metric boosts, episodic provenance,
+        ingest tracing, and — when no usage_callback is supplied — a
+        stderr usage logger."""
+        import sys
+
+        defaults: dict[str, Any] = dict(
+            enable_graph_algorithms=True,
+            enable_episodes=True,
+            instrument=True,
+        )
+        defaults.update(kw)
+        if "usage_callback" not in defaults:
+
+            def _stderr_usage(operation: str, usage: RunUsage) -> None:
+                print(f"[usage] {operation}: {usage}", file=sys.stderr)
+
+            defaults["usage_callback"] = _stderr_usage
+        return cls(spark, **defaults)
+
     def _fire_usage(self, operation: str, usage: "RunUsage") -> None:
         """Fire the P6 usage callback, swallowing callback errors — a
         broken accounting hook must never fail the operation itself

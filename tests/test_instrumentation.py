@@ -124,3 +124,24 @@ class TestIngestTrace:
         res = eng.add("pat lives in rome", user_id="u")
         assert res.added_ids  # ingest worked identically
         assert eng.tracer is None
+
+
+class TestYolo:
+    """Reference `MemoryConfig.yolo` (`types.py:148-171`)."""
+
+    def test_yolo_enables_everything(self, spark):
+        eng = MemoryEngine.yolo(spark, now_fn=lambda: 1_000)
+        assert isinstance(eng.tracer, SpanRecorder)
+        assert eng.enable_episodes and eng.enable_graph_algorithms
+        assert eng.usage_callback is not None  # stderr logger default
+
+    def test_yolo_overrides_win(self, spark):
+        seen = []
+        eng = MemoryEngine.yolo(
+            spark, instrument=False,
+            usage_callback=lambda op, u: seen.append(op),
+            now_fn=lambda: 1_000,
+        )
+        assert eng.tracer is None  # explicit override beats the default
+        eng.add("a fact", user_id="u", infer=False)
+        assert seen == []  # raw add fires no policy usage
