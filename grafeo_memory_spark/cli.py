@@ -37,6 +37,11 @@ def _build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--version", action="store_true", help="show version and exit"
     )
+    parser.add_argument(
+        "--yolo", action="store_true",
+        help="enable all features (graph metrics, episodes, tracing, "
+        "usage logging)",
+    )
     sub = parser.add_subparsers(dest="command")
 
     p_add = sub.add_parser("add", help="Add a memory from text")
@@ -149,7 +154,16 @@ def main(argv: list[str] | None = None, *, engine=None, out=None) -> int:
 
         spark = get_spark(app_name="grafeo-spark-cli")
         if store_path and os.path.exists(store_path):
-            engine = MemoryEngine.open(spark, store_path)
+            if args.yolo:
+                from grafeo_memory_spark.store import load_store
+
+                engine = MemoryEngine.yolo(
+                    spark, store=load_store(spark, store_path)
+                )
+            else:
+                engine = MemoryEngine.open(spark, store_path)
+        elif args.yolo:
+            engine = MemoryEngine.yolo(spark)
         else:
             engine = MemoryEngine(spark)
 

@@ -136,3 +136,11 @@ def test_delete_yes_flag_accepted(spark):
     _run(eng, "add", "temp", "--no-infer")
     code, out = _run(eng, "--json", "delete", "--all", "--yes")
     assert code == 0 and _json_lines(out)["deleted_count"] == 1
+
+
+def test_yolo_flag_parses(spark):
+    # --yolo only changes engine construction (covered in
+    # test_instrumentation); with an injected engine it must just parse
+    eng = MemoryEngine(spark, now_fn=tick)
+    code, out = _run(eng, "--yolo", "--json", "stats")
+    assert code == 0
