@@ -176,6 +176,24 @@ class MemoryEngine:
             defaults["usage_callback"] = _stderr_usage
         return cls(spark, **defaults)
 
+    def close(self) -> None:
+        """Release the engine handle (reference `manager.close`). The
+        Spark session is caller-owned and deliberately NOT stopped —
+        matching the reference's rule that an externally injected db
+        is never closed by the manager (`tests/test_db_injection.py`).
+        Unpersists any cached frames this engine pinned."""
+        for df in (self.store.memories, self.store.edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def __enter__(self) -> "MemoryEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _fire_usage(self, operation: str, usage: "RunUsage") -> None:
         """Fire the P6 usage callback, swallowing callback errors — a
         broken accounting hook must never fail the operation itself

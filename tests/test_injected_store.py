@@ -66,3 +66,33 @@ class TestInjectedStore:
             query_vec=[1.0] + [0.0] * 15, user_id="u", k=1
         ).collect()
         assert len(hits) == 1 and hits[0]["memory_id"] == 50
+
+
+class TestContextManager:
+    """Reference `with manager:` usage pattern; close() never touches
+    the caller-owned SparkSession (test_db_injection semantics)."""
+
+    def test_context_manager_roundtrip(self, spark):
+        with MemoryEngine(spark, now_fn=lambda: 1_000) as eng:
+            eng.add("ctx fact", user_id="u", infer=False)
+            assert eng.get_all(user_id="u").count() == 1
+        # session survives close — a second engine works immediately
+        eng2 = MemoryEngine(spark, now_fn=lambda: 2_000)
+        eng2.add("after close", user_id="u", infer=False)
+        assert eng2.get_all(user_id="u").count() == 1
+
+    def test_sequential_context_sessions(self, spark, tmp_path):
+        path = str(tmp_path / "db")
+        with MemoryEngine(spark, now_fn=lambda: 1_000) as eng:
+            eng.add("one", user_id="u", infer=False)
+            eng.save(path)
+        with MemoryEngine.open(spark, path, now_fn=lambda: 2_000) as eng:
+            eng.add("two", user_id="u", infer=False)
+            eng.save(path)
+        texts = {
+            r["text"]
+            for r in MemoryEngine.open(spark, path)
+            .get_all(user_id="u")
+            .collect()
+        }
+        assert texts == {"one", "two"}
