@@ -802,22 +802,43 @@ class MemoryEngine:
         self._graph_dirty = True
         return res
 
-    def delete(self, memory_id: int, *, hard: bool = False) -> None:
+    def delete(self, memory_id: int, *, hard: bool = False) -> bool:
         """Soft delete via the executor; hard delete = S8 anti-join
-        (reference public `delete()` `manager.py:2192-2198`)."""
-        self._graph_dirty = True
+        (reference public `delete()` `manager.py:2192-2198`). Returns
+        True when a memory was actually removed, False for a missing or
+        already-deleted id — the reference's repeat-delete contract
+        (`tests/test_manager.py` delete twice → False)."""
+        try:
+            mid = int(memory_id)
+        except (TypeError, ValueError):
+            return False
         if hard:
-            self.store = hard_delete(self.store, [memory_id])
-            return
+            exists = bool(
+                self.store.memories.where(F.col("id") == mid).take(1)
+            )
+            if not exists:
+                return False
+            self.store = hard_delete(self.store, [mid])
+            self._graph_dirty = True
+            return True
+        live = bool(
+            current_view(self.store.memories)
+            .where(F.col("id") == mid)
+            .take(1)
+        )
+        if not live:
+            return False
+        self._graph_dirty = True
         self.store, _, self._next_node_id, self._next_edge_id = (
             execute_decisions(
                 self.store,
-                [Decision("DELETE", target_memory_id=memory_id)],
+                [Decision("DELETE", target_memory_id=mid)],
                 self.embedder, user_id="default", now_ms=self._now_fn(),
                 next_node_id=self._next_node_id,
                 next_edge_id=self._next_edge_id,
             )
         )
+        return True
 
     def save(self, path: str) -> None:
         """Persist the store to a directory (S1 write half — reopen with

@@ -254,3 +254,27 @@ class TestDiverseSearch:
             eng.search("anything", user_id="u", k=3, diverse=True).count()
             == 0
         )
+
+
+class TestDeleteContract:
+    """Reference delete() bool contract (`tests/test_manager.py`):
+    True on removal, False for missing / repeated / invalid ids."""
+
+    def test_delete_twice_second_is_false(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        res = eng.add("temp", user_id="u", infer=False)
+        mid = res.added_ids[0]
+        assert eng.delete(mid) is True
+        assert eng.delete(mid) is False  # already soft-deleted
+
+    def test_delete_missing_and_invalid(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        assert eng.delete(999_999) is False
+        assert eng.delete("not_a_number") is False
+
+    def test_hard_delete_contract(self, spark):
+        eng = MemoryEngine(spark, now_fn=tick)
+        res = eng.add("temp", user_id="u", infer=False)
+        mid = res.added_ids[0]
+        assert eng.delete(mid, hard=True) is True
+        assert eng.delete(mid, hard=True) is False  # physically gone
