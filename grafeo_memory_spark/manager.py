@@ -8,16 +8,22 @@ are pluggable protocols (protocols.py) with deterministic defaults, so
 the whole pipeline is reproducible and unit-testable. Everything else is
 DataFrame plans over the append-only Store.
 
-Per-user write serialization (T2, reference `manager.py:283-284`
-asyncio lock): this facade is a single-writer driver object — calls
-apply in call order, the Spark analog of the reference's lock. A
-multi-writer deployment would partition ingest by user_id upstream
-(foreachBatch per key), which preserves the same per-user ordering.
+Write serialization (T7/T8, reference `manager.py:283-284` per-user
+asyncio lock): every mutating facade method takes the engine's
+reentrant write lock, so overlapping calls — threads, or gathered
+coroutines via AsyncMemoryEngine — apply in some serial order with no
+data loss. The reference locks per user because its storage is
+row-level; this engine swaps one immutable Store reference per write,
+so the lock is engine-global. A multi-writer deployment would
+partition ingest by user_id upstream (foreachBatch per key), which
+preserves the same per-user ordering.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import threading
 import time
 from typing import Any, Sequence
 
@@ -61,6 +67,19 @@ from grafeo_memory_spark.store import (
     empty_store,
     load_store,
 )
+
+
+def _locked(fn):
+    """Serialize a mutating facade method on the engine's write lock
+    (T7/T8; reference `manager.py:283-284`). Reentrant so locked
+    methods can call each other (e.g. delete_all → delete)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class _PassthroughExtractor:
@@ -121,6 +140,7 @@ class MemoryEngine:
         self.custom_update_prompt = custom_update_prompt
         self.custom_procedural_prompt = custom_procedural_prompt
         self.reconcile_threshold = reconcile_threshold
+        self._write_lock = threading.RLock()
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
         #: opt-in tracing (reference `types.py:88` instrument flag +
@@ -216,6 +236,7 @@ class MemoryEngine:
         )
 
     # ------------------------------------------------------------ add
+    @_locked
     def add(
         self,
         messages,
@@ -710,6 +731,7 @@ class MemoryEngine:
         )
         return self.spark.createDataFrame(out, df.schema)
 
+    @_locked
     def record_access(
         self, memory_ids: Sequence[int], *, now_ms: int | None = None
     ) -> None:
@@ -768,6 +790,7 @@ class MemoryEngine:
             )
         return self.tracer.steps()
 
+    @_locked
     def refresh_metrics(self, **kw) -> None:
         """G1-G4 — recompute and cache graph metrics on the memories
         table (reference lazy recompute at `manager.py:1585-1644`)."""
@@ -789,6 +812,7 @@ class MemoryEngine:
         df = df.orderBy(F.col("created_at").asc(), F.col("id").asc())
         return df.limit(limit) if limit else df
 
+    @_locked
     def update(self, memory_id: int, text: str, *, user_id: str = "default") -> ExecResult:
         self.store, res, self._next_node_id, self._next_edge_id = (
             execute_decisions(
@@ -802,6 +826,7 @@ class MemoryEngine:
         self._graph_dirty = True
         return res
 
+    @_locked
     def delete(self, memory_id: int, *, hard: bool = False) -> bool:
         """Soft delete via the executor; hard delete = S8 anti-join
         (reference public `delete()` `manager.py:2192-2198`). Returns
@@ -854,6 +879,7 @@ class MemoryEngine:
         save_store(self.store, path)
         self.store = load_store(self.spark, path)
 
+    @_locked
     def delete_all(self, *, user_id: str) -> int:
         """A7 — bulk delete with count (reference `manager.py:2200-2207`)."""
         victims = [
@@ -912,6 +938,7 @@ class MemoryEngine:
             },
         }
 
+    @_locked
     def summarize(
         self, *, user_id: str, summarize_batch=None, preserve_recent: int = 5,
         batch_size: int = 10, topology_protect_threshold: float | None = None,
@@ -931,6 +958,7 @@ class MemoryEngine:
         return sids
 
     # ------------------------------------------------- facade: batch add
+    @_locked
     def add_batch(
         self, messages_list: Sequence, *, infer: bool = True, **kw
     ) -> ExecResult:
@@ -974,6 +1002,7 @@ class MemoryEngine:
         return agg
 
     # ---------------------------------------------- facade: temporal/graph
+    @_locked
     def set_importance(self, memory_id: int, importance: float) -> bool:
         """Set the base importance score (reference `_set_importance_impl`,
         `manager.py:2016-2029`): range-checked, False for unknown ids."""

@@ -113,6 +113,12 @@ class HashEmbedder:
     """
 
     def __init__(self, dimensions: int = 16):
+        # reference `types.py` MemoryConfig validation: dimensions must
+        # be a positive integer (tests/test_config_validation.py)
+        if dimensions <= 0:
+            raise ValueError(
+                f"embedding dimensions must be positive, got {dimensions}"
+            )
         self._dims = dimensions
 
     @property
