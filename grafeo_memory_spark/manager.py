@@ -473,16 +473,36 @@ class MemoryEngine:
                 get_existing_relations,
             )
 
+            # the policy sees rows keyed exactly as the reference's
+            # (`manager.py:1712-1751` → reconciliation/relations.py):
+            # source / target / relation_type / edge_id — so a policy
+            # written for the reference drops in unchanged
             existing = [
-                r.asDict()
+                {
+                    "edge_id": r["edge_id"],
+                    "source": r["source_name"],
+                    "target": r["target_name"],
+                    "relation_type": r["relation_type"],
+                }
                 for r in get_existing_relations(
                     self.store, list(ids.values())
                 ).collect()
             ]
-            to_delete = self.relation_reconciler(list(relations), existing)
-            self._fire_usage("relation_reconcile", RunUsage(calls=1))
-            if to_delete:
-                self.store = delete_relations(self.store, to_delete)
+            # no existing relations → nothing to contradict, and the
+            # policy (an LLM call) is NOT invoked (reference
+            # `reconciliation/relations.py:36-38` early return); a
+            # failing policy yields no deletions rather than failing
+            # the add (reference `relations.py:56-62` error → [])
+            if existing:
+                try:
+                    to_delete = self.relation_reconciler(
+                        list(relations), existing
+                    )
+                except Exception:
+                    to_delete = []
+                self._fire_usage("relation_reconcile", RunUsage(calls=1))
+                if to_delete:
+                    self.store = delete_relations(self.store, to_delete)
         for r in relations:
             s = ids.get(normalize_entity_name(r.get("source", "")))
             t = ids.get(normalize_entity_name(r.get("target", "")))

@@ -210,6 +210,33 @@ class IdentityReranker:
         return results[:top_k]
 
 
+class ScoringReranker:
+    """P2 — the reference LLMReranker's contract (`reranker.py:50-118`)
+    with a pluggable scorer: score every candidate with
+    ``score_fn(query, result) -> float``, replace ``score``, sort
+    descending, truncate to ``top_k``. A per-result scorer failure keeps
+    that result's original score (reference `reranker.py:95-101`
+    per-item error handling)."""
+
+    def __init__(self, score_fn):
+        self._score_fn = score_fn
+
+    def rerank(
+        self, query: str, results: list[dict[str, Any]], top_k: int
+    ) -> list[dict[str, Any]]:
+        if not results:
+            return []
+        rescored = []
+        for r in results:
+            try:
+                s = float(self._score_fn(query, r))
+            except Exception:
+                s = r.get("score", 0.0)
+            rescored.append({**r, "score": s})
+        rescored.sort(key=lambda r: r["score"], reverse=True)
+        return rescored[:top_k]
+
+
 @dataclass
 class RunUsage:
     """A6/P6 — usage accumulation (reference `RunUsage.incr`,

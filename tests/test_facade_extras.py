@@ -77,16 +77,18 @@ def test_relation_reconciliation_deletes_contradicted(spark):
 
     def contradicts(new_rels, existing):
         # a new works_at contradicts any existing works_at of the source
+        # (existing rows use the reference's source/target/relation_type
+        # keys, reconciliation/relations.py contract)
         out = []
         for n in new_rels:
             for e in existing:
                 if (
                     e["relation_type"] == n["relation_type"]
-                    and e["source_name"] == n["source"]
-                    and e["target_name"] != n["target"]
+                    and e["source"] == n["source"]
+                    and e["target"] != n["target"]
                 ):
                     out.append(
-                        {"source": e["source_name"], "target": e["target_name"],
+                        {"source": e["source"], "target": e["target"],
                          "relation_type": e["relation_type"]}
                     )
         return out
