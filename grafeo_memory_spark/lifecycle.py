@@ -28,7 +28,7 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from grafeo_memory_spark.protocols import EmbeddingClient
+from grafeo_memory_spark.protocols import EmbeddingClient, RunUsage
 from grafeo_memory_spark.store import (
     EDGE_SCHEMA,
     HISTORY_SCHEMA,
@@ -61,6 +61,18 @@ class ExecResult:
     updated_ids: list[int] = field(default_factory=list)  # new ids
     expired_ids: list[int] = field(default_factory=list)
     skipped: int = 0
+    #: aggregated policy-call usage for the operation that produced
+    #: this result (reference AddResult.usage, `types.py:330-337`)
+    usage: RunUsage = field(default_factory=RunUsage)
+
+    def merge(self, other: "ExecResult") -> None:
+        """Fold another result in (the reference's add_batch event
+        aggregation, `manager.py:2349-2369`)."""
+        self.added_ids += other.added_ids
+        self.updated_ids += other.updated_ids
+        self.expired_ids += other.expired_ids
+        self.skipped += other.skipped
+        self.usage.incr(other.usage)
 
 
 def current_view(memories: DataFrame, include_expired: bool = False) -> DataFrame:

@@ -141,6 +141,8 @@ class MemoryEngine:
         self.custom_procedural_prompt = custom_procedural_prompt
         self.reconcile_threshold = reconcile_threshold
         self._write_lock = threading.RLock()
+        #: per-operation RunUsage collector, live only inside add()
+        self._op_usage: RunUsage | None = None
         self._now_fn = now_fn or (lambda: int(time.time() * 1000))
         self._last_stages: list[str] = []
         #: opt-in tracing (reference `types.py:88` instrument flag +
@@ -217,7 +219,12 @@ class MemoryEngine:
     def _fire_usage(self, operation: str, usage: "RunUsage") -> None:
         """Fire the P6 usage callback, swallowing callback errors — a
         broken accounting hook must never fail the operation itself
-        (reference `_make_usage_collector`, `manager.py:177-192`)."""
+        (reference `_make_usage_collector`, `manager.py:177-192`).
+        Also folds the usage into the in-flight operation's collector
+        so results can carry aggregated usage (reference
+        AddResult.usage, `types.py:330-337`)."""
+        if self._op_usage is not None:
+            self._op_usage.incr(usage)
         if self.usage_callback is None:
             return
         try:
@@ -255,6 +262,7 @@ class MemoryEngine:
         reconcile (policy) → execute decisions → entity/relation graph →
         session chain + episode provenance."""
         now = self._now_fn()
+        op_usage = self._op_usage = RunUsage()
         if self.tracer is not None:
             self.tracer.begin()
         with self._span("normalize"):
@@ -304,7 +312,8 @@ class MemoryEngine:
             if sp is not None:
                 sp.attributes["facts"] = len(facts)
         if not facts:
-            return ExecResult()
+            self._op_usage = None
+            return ExecResult(usage=op_usage)
         with self._span("embed", facts=len(facts)):
             vecs = self.embedder.embed(facts)
 
@@ -396,18 +405,26 @@ class MemoryEngine:
                     new_ids, ext["entities"], ext.get("relations", []),
                     user_id=user_id, graph_name=graph_name,
                 )
-        if (run_id or session_id) and new_ids:
-            with self._span("session_chain"):
-                self._link_session_chain(
-                    new_ids, user_id, run_id or session_id, now
-                )
+        # Episodes and the LEADS_TO memory chain are mutually exclusive
+        # (reference `manager.py:240-245`): with episodes on, session
+        # continuity lives on NEXT_EPISODE edges and no LEADS_TO edges
+        # are written; only with episodes off does the memory-level
+        # session chain apply.
         if self.enable_episodes:
             with self._span("episode"):
                 self._add_episode(
                     text, user_id, session_id, run_id, now, new_ids,
                     mentioned_ids,
                 )
+        elif (run_id or session_id) and new_ids:
+            with self._span("session_chain"):
+                self._link_session_chain(
+                    new_ids, user_id, run_id or session_id, now,
+                    graph_name=graph_name,
+                )
         self._graph_dirty = True
+        self._op_usage = None
+        res.usage.incr(op_usage)
         return res
 
     def _store_graph(
@@ -531,20 +548,27 @@ class MemoryEngine:
         return sorted(ids.values())
 
     def _link_session_chain(
-        self, new_ids: Sequence[int], user_id: str, run_key: str, now: int
+        self, new_ids: Sequence[int], user_id: str, run_key: str, now: int,
+        graph_name: str | None = None,
     ) -> None:
         """J13/T1 — LEADS_TO from the session's latest prior memory
-        (reference `_link_session_chain`, `manager.py:1182-1223`)."""
+        (reference `_link_session_chain`, `manager.py:1182-1223`). The
+        predecessor probe is graph-scoped when a graph_name is given
+        (reference `manager.py:1199-1200`): the same run_id in two
+        graphs builds two independent chains."""
+        pred = (
+            (F.col("user_id") == user_id)
+            & (
+                (F.col("run_id") == run_key)
+                | (F.col("session_id") == run_key)
+            )
+            & ~F.col("id").isin(list(new_ids))
+        )
+        if graph_name is not None:
+            pred = pred & (F.col("graph_name") == graph_name)
         prior = (
             current_view(self.store.memories)
-            .where(
-                (F.col("user_id") == user_id)
-                & (
-                    (F.col("run_id") == run_key)
-                    | (F.col("session_id") == run_key)
-                )
-                & ~F.col("id").isin(list(new_ids))
-            )
+            .where(pred)
             .orderBy(F.col("created_at").desc(), F.col("id").desc())
             .limit(1)
             .collect()
@@ -596,11 +620,18 @@ class MemoryEngine:
         for r in edge_rows:
             r["edge_id"] = self._next_edge_id
             self._next_edge_id += 1
-        if session_id:
+        # predecessor keyed on run_id-or-session_id, matching episodes
+        # by THEIR run_id-or-session_id (reference `_link_episode_chain`
+        # `manager.py:1163-1180`: node_run = run_id or session_id)
+        run_key = run_id or session_id
+        if run_key:
             prev = (
                 self.store.episodes.where(
                     (F.col("user_id") == user_id)
-                    & (F.col("session_id") == session_id)
+                    & (
+                        F.coalesce(F.col("run_id"), F.col("session_id"))
+                        == run_key
+                    )
                 )
                 .orderBy(F.col("created_at").desc(), F.col("id").desc())
                 .limit(1)
@@ -1005,20 +1036,12 @@ class MemoryEngine:
             self.embedder = _Cached()
             try:
                 for m in messages_list:
-                    r = self.add(m, infer=False, **kw)
-                    agg.added_ids += r.added_ids
-                    agg.updated_ids += r.updated_ids
-                    agg.expired_ids += r.expired_ids
-                    agg.skipped += r.skipped
+                    agg.merge(self.add(m, infer=False, **kw))
             finally:
                 self.embedder = real
             return agg
         for m in messages_list:
-            r = self.add(m, infer=True, **kw)
-            agg.added_ids += r.added_ids
-            agg.updated_ids += r.updated_ids
-            agg.expired_ids += r.expired_ids
-            agg.skipped += r.skipped
+            agg.merge(self.add(m, infer=True, **kw))
         return agg
 
     # ---------------------------------------------- facade: temporal/graph

@@ -178,3 +178,66 @@ def test_episodes_not_created_when_disabled(spark):
         eng.store.edges.where(F.col("edge_type") == "PRODUCED").count() == 0
     )
     assert eng.get_episodes(user_id="u").count() == 0
+
+
+def test_episode_properties(spark):
+    """Episode rows carry content/source/user/session/run/created_at
+    (reference `tests/test_episodes.py` test_episode_properties)."""
+    eng = _mk(spark)
+    eng.add("Bob likes pizza", user_id="u", session_id="sess1", run_id="run1",
+            infer=False)
+    ep = eng.store.episodes.collect()[0]
+    assert ep["source"] == "message"
+    assert ep["user_id"] == "u"
+    assert ep["session_id"] == "sess1"
+    assert ep["run_id"] == "run1"
+    assert ep["created_at"] is not None
+    assert "Bob likes pizza" in ep["content"]
+
+
+def test_raw_add_creates_episode(spark):
+    """infer=False still records an Episode (reference
+    test_raw_add_creates_episode)."""
+    eng = _mk(spark)
+    res = eng.add("Some raw text", user_id="u", run_id="run1", infer=False)
+    assert len(res.added_ids) == 1
+    eps = eng.store.episodes.collect()
+    assert len(eps) == 1 and "Some raw text" in eps[0]["content"]
+
+
+def test_multiple_facts_multiple_produced(spark):
+    """One episode PRODUCES every memory of its add (reference
+    test_multiple_facts_multiple_produced)."""
+    ext = ScriptedExtractor(
+        [{"facts": ["fact a", "fact b", "fact c"], "entities": [],
+          "relations": []}]
+    )
+    eng = _mk(spark, extractor=ext)
+    res = eng.add("three facts", user_id="u")
+    assert len(res.added_ids) == 3
+    produced = eng.store.edges.where(F.col("edge_type") == "PRODUCED")
+    assert produced.count() == 3
+    assert produced.select("src").distinct().count() == 1  # one episode
+
+
+def test_episode_nodes_not_in_search(spark):
+    """Episodes never surface as search results (reference
+    test_episode_nodes_not_in_search)."""
+    eng = _mk(spark)
+    eng.add("alice works at acme", user_id="u", run_id="r1", infer=False)
+    rows = eng.search("alice work", user_id="u", k=10).collect()
+    texts = {r["text"] for r in rows}
+    assert texts == {"alice works at acme"}
+    assert all(r["source"] in ("vector", "graph", "both") for r in rows)
+
+
+def test_leads_to_not_created_with_episodes(spark):
+    """Episodes on → zero LEADS_TO edges (reference
+    test_leads_to_not_created_with_episodes; `manager.py:240-245`)."""
+    eng = _mk(spark)
+    eng.add("Fact one", user_id="u", run_id="run1", infer=False)
+    eng.add("Fact two", user_id="u", run_id="run1", infer=False)
+    assert eng.store.edges.where(F.col("edge_type") == "LEADS_TO").count() == 0
+    assert eng.store.edges.where(
+        F.col("edge_type") == "NEXT_EPISODE"
+    ).count() == 1

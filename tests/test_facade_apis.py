@@ -31,7 +31,10 @@ def _mk(spark, **kw):
 
 class TestTemporalChain:
     def _chained(self, spark):
-        eng = _mk(spark)
+        # episodes off: temporal_chain walks LEADS_TO memory edges,
+        # which are only written without episodes (reference
+        # `manager.py:240-245` episode/elif gating)
+        eng = _mk(spark, enable_episodes=False)
         for i in range(4):
             eng.add(f"step {i}", user_id="u", session_id="s", infer=False)
         ids = [r["id"] for r in

@@ -98,10 +98,12 @@ class TestIngestTrace:
         eng = _engine(spark, instrument=True)
         eng.add("pat lives in rome", user_id="u", session_id="s1")
         names = [s["name"] for s in eng.explain_ingest()]
+        # episodes on → the "episode" span replaces "session_chain"
+        # (reference `manager.py:240-245` episode/elif gating)
         assert names == [
             "normalize", "extract", "embed", "reconcile_probe",
             "reconcile", "execute_decisions", "store_graph",
-            "session_chain", "episode",
+            "episode",
         ]
         steps = {s["name"]: s for s in eng.explain_ingest()}
         assert steps["extract"]["detail"]["facts"] == 1

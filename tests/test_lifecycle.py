@@ -132,10 +132,14 @@ def test_reconciler_decisions_respected(spark):
 
 
 def test_session_chain_and_episode(engine):
+    # episodes on → session continuity lives on NEXT_EPISODE, and NO
+    # LEADS_TO memory edges are written (reference `manager.py:240-245`
+    # episode/elif gating; `tests/test_episodes.py`
+    # test_leads_to_not_created_with_episodes)
     engine.add("step one", user_id="eve", session_id="s1", run_id="r1")
     engine.add("step two", user_id="eve", session_id="s1", run_id="r1")
     lt = engine.store.edges.where(F.col("edge_type") == "LEADS_TO").collect()
-    assert len(lt) == 1  # second memory chained to first
+    assert len(lt) == 0
     ep = engine.store.episodes.collect()
     assert len(ep) == 2
     ne = engine.store.edges.where(F.col("edge_type") == "NEXT_EPISODE").collect()
@@ -143,6 +147,15 @@ def test_session_chain_and_episode(engine):
     assert (
         engine.store.edges.where(F.col("edge_type") == "PRODUCED").count() == 2
     )
+
+
+def test_session_chain_without_episodes(spark):
+    # episodes off → the memory-level LEADS_TO chain applies
+    eng = MemoryEngine(spark, now_fn=tick)
+    eng.add("step one", user_id="eve", session_id="s1", run_id="r1")
+    eng.add("step two", user_id="eve", session_id="s1", run_id="r1")
+    assert eng.store.edges.where(F.col("edge_type") == "LEADS_TO").count() == 1
+    assert eng.store.episodes.count() == 0
 
 
 def test_delete_all_counts(engine):

@@ -184,3 +184,42 @@ class TestBatchUsage:
         res = eng.add_batch(["m1", "m2"], user_id="u", infer=False)
         assert len(res.added_ids) == 2
         assert calls == []
+
+
+class TestResultCarriedUsage:
+    """Results carry aggregated usage (reference AddResult.usage,
+    `types.py:330-337`; `tests/test_usage.py` result-type cases)."""
+
+    def test_add_result_default_usage(self):
+        from grafeo_memory_spark.lifecycle import ExecResult
+
+        res = ExecResult()
+        assert res.usage.calls == 0 and res.usage.input_tokens == 0
+
+    def test_add_returns_result_with_usage(self, spark):
+        eng = MemoryEngine(spark, extractor=_fact_extractor())
+        res = eng.add("some text", user_id="u")
+        # extract + reconcile = 2 policy calls
+        assert res.usage.calls == 2
+
+    def test_raw_add_zero_policy_usage(self, spark):
+        eng = MemoryEngine(spark)
+        res = eng.add("raw text", user_id="u", infer=False)
+        assert res.usage.calls == 0
+
+    def test_empty_extraction_result_still_carries_usage(self, spark):
+        ext = ScriptedExtractor(outputs=[{"facts": [], "entities": [], "relations": []}])
+        eng = MemoryEngine(spark, extractor=ext)
+        res = eng.add("nothing", user_id="u")
+        assert res.added_ids == []
+        assert res.usage.calls == 1  # extract ran, reconcile skipped
+
+    def test_add_batch_accumulates_usage(self, spark):
+        eng = MemoryEngine(spark, extractor=_fact_extractor(3))
+        res = eng.add_batch(["a", "b", "c"], user_id="u")
+        assert res.usage.calls == 6  # (extract + reconcile) x 3
+
+    def test_usage_without_callback_still_collected(self, spark):
+        eng = MemoryEngine(spark, extractor=_fact_extractor())
+        assert eng.usage_callback is None
+        assert eng.add("text", user_id="u").usage.calls == 2
