@@ -865,17 +865,41 @@ class MemoryEngine:
 
     @_locked
     def update(self, memory_id: int, text: str, *, user_id: str = "default") -> ExecResult:
-        self.store, res, self._next_node_id, self._next_edge_id = (
-            execute_decisions(
-                self.store,
-                [Decision("UPDATE", text, target_memory_id=memory_id)],
-                self.embedder, user_id=user_id, now_ms=self._now_fn(),
-                next_node_id=self._next_node_id,
-                next_edge_id=self._next_edge_id,
-            )
+        """Direct in-place text update on the SAME node id (reference
+        public `_update`, `manager.py:836-855` + `_update_memory`
+        1093-1112): re-embed, stamp updated_at, append an UPDATE
+        history row under the same id — `history(id)` reads
+        ADD + UPDATE (reference `tests/test_manager.py`
+        test_update_records_history). Distinct from the reconciler's
+        UPDATE *decision*, which soft-expires + SUPERSEDES + inherits
+        (`lifecycle.py` UPDATE branch) — the reference keeps the same
+        split between the two paths."""
+        mid = int(memory_id)
+        now = self._now_fn()
+        old = self.store.memories.where(F.col("id") == mid).select("text").take(1)
+        if not old:
+            raise ValueError(f"unknown memory id {memory_id}")
+        old_text = old[0]["text"]
+        vec = F.array(
+            *[F.lit(float(x)) for x in self.embedder.embed([text])[0]]
+        ).cast("array<float>")
+        hit = F.col("id") == mid
+        self.store = self.store.with_(
+            memories=self.store.memories
+            .withColumn("text", F.when(hit, F.lit(text)).otherwise(F.col("text")))
+            .withColumn("updated_at", F.when(hit, F.lit(now)).otherwise(F.col("updated_at")))
+            .withColumn("embedding", F.when(hit, vec).otherwise(F.col("embedding"))),
+            history=self.store.history.unionByName(
+                self.spark.createDataFrame(
+                    [dict(memory_id=mid, event="UPDATE", old_text=old_text,
+                          new_text=text, timestamp=now, actor_id=None,
+                          role=None)],
+                    self.store.history.schema,
+                )
+            ),
         )
         self._graph_dirty = True
-        return res
+        return ExecResult(updated_ids=[mid])
 
     @_locked
     def delete(self, memory_id: int, *, hard: bool = False) -> bool:

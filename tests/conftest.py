@@ -62,3 +62,24 @@ def assert_matches_oracle(spark_df, duck_con, sql):
     assert sr == dr, (
         f"value mismatch; first spark={sr[:3]} duck={dr[:3]}"
     )
+
+
+def supersede(eng, memory_id, text, *, user_id="u"):
+    """Drive the reconciler's UPDATE *decision* path (soft-expire +
+    SUPERSEDES + inherit, `lifecycle.py` UPDATE branch) directly —
+    distinct from the public in-place ``engine.update()`` (reference
+    `_update` vs decision execution split, reference
+    `manager.py:836-855` / decision branch)."""
+    from grafeo_memory_spark.lifecycle import Decision, execute_decisions
+
+    eng.store, res, eng._next_node_id, eng._next_edge_id = execute_decisions(
+        eng.store,
+        [Decision("UPDATE", text, target_memory_id=memory_id)],
+        eng.embedder,
+        user_id=user_id,
+        now_ms=eng._now_fn(),
+        next_node_id=eng._next_node_id,
+        next_edge_id=eng._next_edge_id,
+    )
+    eng._graph_dirty = True
+    return res

@@ -110,16 +110,17 @@ class TestAsyncAddSearch:
 
 class TestAsyncMutation:
     def test_async_update_and_history(self, spark):
-        """update re-embeds and records history (ref test_async_update)."""
+        """update rewrites in place and records history under the same
+        id (ref test_async_update; reference `_update` is in-place)."""
         mem = _mk(spark)
 
         async def _run():
             res = await mem.add("alice works at acme", infer=False)
             mid = res.added_ids[0]
             up = await mem.update(mid, "alice works at globex")
-            new_id = up.updated_ids[0]
-            hist = (await mem.history(new_id)).collect()
-            assert len(hist) >= 1
+            assert up.updated_ids == [mid]
+            hist = (await mem.history(mid)).collect()
+            assert [h["event"] for h in hist] == ["ADD", "UPDATE"]
             texts = [r["text"] for r in (await mem.get_all()).collect()]
             assert texts == ["alice works at globex"]
 

@@ -10,6 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from grafeo_memory_spark.lifecycle import Decision, execute_decisions
+
+from conftest import supersede
 from grafeo_memory_spark.manager import MemoryEngine
 from grafeo_memory_spark.protocols import (
     HashEmbedder,
@@ -197,18 +199,32 @@ class TestAddBatch:
 
 
 class TestLifecycleSemantics:
-    def test_update_history_recorded_under_new_id(self, spark):
+    def test_decision_update_history_recorded_under_new_id(self, spark):
+        # the reconciler's UPDATE decision supersedes: history rides the
+        # NEW memory id (reference decision branch, manager.py:978)
         eng = _mk(spark)
         old = eng.add("v1", user_id="u", infer=False).added_ids[0]
-        res = eng.update(old, "v2", user_id="u")
+        res = supersede(eng, old, "v2", user_id="u")
         new = res.updated_ids[0]
+        assert new != old
         ev_new = [r["event"] for r in eng.history(new).collect()]
         ev_old = [r["event"] for r in eng.history(old).collect()]
-        # reference manager.py:978 — UPDATE rides the NEW memory id
         assert ev_new == ["UPDATE"]
         assert ev_old == ["ADD"]
         upd = eng.history(new).collect()[0]
         assert upd["old_text"] == "v1" and upd["new_text"] == "v2"
+
+    def test_public_update_history_same_id(self, spark):
+        # the public update() is in-place: ADD + UPDATE under ONE id
+        # (reference `_update` manager.py:836-855,
+        # test_update_records_history)
+        eng = _mk(spark)
+        mid = eng.add("v1", user_id="u", infer=False).added_ids[0]
+        res = eng.update(mid, "v2", user_id="u")
+        assert res.updated_ids == [mid]
+        assert [r["event"] for r in eng.history(mid).collect()] == [
+            "ADD", "UPDATE",
+        ]
 
     def test_duplicate_targets_keep_id_unique(self, spark):
         eng = _mk(spark)
@@ -258,7 +274,7 @@ class TestTemporalHintOr:
     def test_past_state_query_overrides_explicit_flag(self, spark):
         eng = _mk(spark)
         old = eng.add("lived in Paris", user_id="u", infer=False).added_ids[0]
-        eng.update(old, "lives in Berlin", user_id="u")
+        supersede(eng, old, "lives in Berlin", user_id="u")
         # "previously" classifies as past-state; explicit
         # include_expired=False must NOT suppress the hint (reference
         # ORs them)

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from grafeo_memory_spark.functions.scoring import ScoreConfig
 from grafeo_memory_spark.manager import MemoryEngine
 
+from conftest import supersede
+
 
 def _mk(spark, **kw):
     t = [1_000_000]
@@ -109,7 +111,7 @@ def test_memory_type_filter_and_backcompat(engine):
 def test_temporal_hint_triggers_expired_and_chrono(engine):
     engine.add("current fact", user_id="u", infer=False)
     mid = engine.store.memories.collect()[0]["id"]
-    engine.update(mid, "new fact", user_id="u")
+    supersede(engine, mid, "new fact", user_id="u")
     # plain search: only the live version
     assert len(engine.search("fact", user_id="u").collect()) == 1
     # "what happened" (sequence → chrono) + "previously" (past-state →
@@ -137,3 +139,56 @@ def test_search_dimension_mismatch_raises(engine):
     engine.add("something", user_id="u", infer=False)
     with pytest.raises(ValueError, match="dims"):
         engine.search(query_vec=[1.0, 0.0], user_id="u")  # embedder is 16-d
+
+
+def test_delete_memory_with_entities(spark):
+    """Deleting a memory that has entity edges succeeds; repeat delete
+    returns False (reference test_delete_memory_with_entities)."""
+    from grafeo_memory_spark.protocols import ScriptedExtractor
+
+    ext = ScriptedExtractor([
+        {"facts": ["alice works at acme corp"],
+         "entities": [{"name": "alice", "entity_type": "person"},
+                      {"name": "acme_corp", "entity_type": "organization"}],
+         "relations": [{"source": "alice", "target": "acme_corp",
+                        "relation_type": "works_at"}]},
+    ])
+    eng = _mk(spark, extractor=ext)
+    mid = eng.add("Alice works at Acme Corp", user_id="u").added_ids[0]
+    he = eng.store.edges.where(
+        (F.col("edge_type") == "HAS_ENTITY") & (F.col("src") == mid)
+    )
+    assert he.count() >= 1
+    assert eng.delete(mid) is True
+    assert eng.delete(mid) is False
+
+
+def test_delete_does_not_crash_with_shared_entities(spark):
+    """Deleting one memory keeps a sibling sharing its entity intact
+    (reference test_delete_does_not_crash_with_shared_entities)."""
+    from grafeo_memory_spark.protocols import ScriptedExtractor
+
+    ext = ScriptedExtractor([
+        {"facts": ["alice likes hiking"],
+         "entities": [{"name": "alice", "entity_type": "person"}],
+         "relations": []},
+        {"facts": ["alice likes cooking"],
+         "entities": [{"name": "alice", "entity_type": "person"}],
+         "relations": []},
+    ])
+    eng = _mk(spark, extractor=ext)
+    first = eng.add("Alice likes hiking", user_id="u").added_ids[0]
+    eng.add("Alice likes cooking", user_id="u")
+    eng.delete(first)
+    rows = eng.get_all(user_id="u").collect()
+    assert len(rows) == 1 and "cooking" in rows[0]["text"]
+
+
+def test_actor_in_results(spark):
+    """actor_id/role from named messages ride through storage into
+    results (reference test_actor_in_search_results)."""
+    eng = _mk(spark)
+    eng.add({"role": "user", "content": "I like hiking", "name": "alice"},
+            user_id="u", infer=False)
+    row = eng.get_all(user_id="u").collect()[0]
+    assert row["actor_id"] == "alice" and row["role"] == "user"

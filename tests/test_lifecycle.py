@@ -11,6 +11,8 @@ from grafeo_memory_spark.functions.scoring import ScoreConfig
 from grafeo_memory_spark.manager import MemoryEngine
 from grafeo_memory_spark.protocols import ScriptedExtractor, ScriptedReconciler
 
+from conftest import supersede
+
 NOW = [1_700_000_000_000]
 
 
@@ -35,10 +37,12 @@ def test_add_then_search_finds_it(engine):
     assert engine.explain()[-1] == "final"
 
 
-def test_update_expires_old_and_supersedes(engine):
+def test_update_decision_expires_old_and_supersedes(engine):
+    # the reconciler's UPDATE *decision* path supersedes; the public
+    # update() is in-place (reference `_update` vs decision split)
     res = engine.add("bob works at acme", user_id="bob")
     old_id = res.added_ids[0]
-    upd = engine.update(old_id, "bob works at globex", user_id="bob")
+    upd = supersede(engine, old_id, "bob works at globex", user_id="bob")
     new_id = upd.updated_ids[0]
 
     # search excludes the expired version
@@ -92,7 +96,7 @@ def test_update_inherits_entity_edges(spark):
     ent = eng.store.entities.collect()
     assert [e["name"] for e in ent] == ["piano"]
 
-    upd = eng.update(old_id, "carol plays violin", user_id="carol")
+    upd = supersede(eng, old_id, "carol plays violin", user_id="carol")
     new_id = upd.updated_ids[0]
     he_new = eng.store.edges.where(
         (F.col("edge_type") == "HAS_ENTITY") & (F.col("src") == new_id)
@@ -340,3 +344,46 @@ def test_score_config_construction_validation():
         warnings.simplefilter("always")
         ScoreConfig()  # defaults sum to 1.0 — silent
     assert not w
+
+
+def test_public_update_is_in_place(spark):
+    """engine.update() rewrites the SAME node (reference `_update`
+    `manager.py:836-855`): same id stays live, text/embedding replaced,
+    history(id) reads ADD + UPDATE with old/new text."""
+    eng = MemoryEngine(spark, now_fn=tick)
+    mid = eng.add("alice works at acme", user_id="u", infer=False).added_ids[0]
+    res = eng.update(mid, "alice works at globex corp", user_id="u")
+    assert res.updated_ids == [mid]
+    rows = eng.get_all(user_id="u").collect()
+    assert [r["id"] for r in rows] == [mid]
+    assert rows[0]["text"] == "alice works at globex corp"
+    assert rows[0]["updated_at"] is not None
+    hist = eng.history(mid).collect()
+    assert [h["event"] for h in hist] == ["ADD", "UPDATE"]
+    assert hist[1]["old_text"] == "alice works at acme"
+    assert hist[1]["new_text"] == "alice works at globex corp"
+    # repeated updates keep working on the same live id (reference
+    # test_history_ordered_by_timestamp updates the same id 3x)
+    eng.update(mid, "alice works at gamma", user_id="u")
+    eng.update(mid, "alice works at delta", user_id="u")
+    events = [h["event"] for h in eng.history(mid).collect()]
+    assert events == ["ADD", "UPDATE", "UPDATE", "UPDATE"]
+
+
+def test_public_update_unknown_id_raises(spark):
+    eng = MemoryEngine(spark, now_fn=tick)
+    with pytest.raises(ValueError):
+        eng.update(999_999, "nope", user_id="u")
+
+
+def test_public_update_re_embeds(spark):
+    """Search finds the NEW text after update (re-embed contract,
+    reference test_update_changes_text)."""
+    eng = MemoryEngine(spark, now_fn=tick)
+    mid = eng.add("original topic", user_id="u", infer=False).added_ids[0]
+    eng.update(mid, "replacement topic", user_id="u")
+    # exact-text query → cosine 1.0 against the NEW embedding, so the
+    # updated row is the top hit (score is the weighted composite)
+    got = eng.search("replacement topic", user_id="u", k=1).collect()
+    assert got[0]["memory_id"] == mid
+    assert got[0]["text"] == "replacement topic"

@@ -78,8 +78,8 @@ class TestPersistenceLifecycle:
         back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
         texts = {r["text"] for r in back.get_all(user_id="u").collect()}
         assert texts == {"alpha fact v2", "gamma fact"}
-        # history of the update survives too (recorded under the NEW id —
-        # lifecycle semantics pinned in test_facade_apis)
+        # history of the in-place update survives too (same id,
+        # reference `_update` semantics)
         new_id = upd.updated_ids[0]
         events = [r["event"] for r in back.history(new_id).collect()]
         assert "UPDATE" in events
