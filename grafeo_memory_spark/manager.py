@@ -82,6 +82,26 @@ def _locked(fn):
     return wrapper
 
 
+def _collects_usage(fn):
+    """Scope a per-operation RunUsage collector around a facade method
+    (reference `_make_usage_collector` + AddResult.usage): every
+    `_fire_usage` during the call accumulates into it, the collector is
+    cleared even on error, and the result carries the total."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        op_usage = self._op_usage = RunUsage()
+        try:
+            res = fn(self, *args, **kwargs)
+        finally:
+            self._op_usage = None
+        if isinstance(res, ExecResult):
+            res.usage.incr(op_usage)
+        return res
+
+    return wrapper
+
+
 class _PassthroughExtractor:
     """Default P4: the whole message is one fact, no entities/relations
     (the reference's infer=False raw-add path, `manager.py:226-248`)."""
@@ -244,6 +264,7 @@ class MemoryEngine:
 
     # ------------------------------------------------------------ add
     @_locked
+    @_collects_usage
     def add(
         self,
         messages,
@@ -262,7 +283,6 @@ class MemoryEngine:
         reconcile (policy) → execute decisions → entity/relation graph →
         session chain + episode provenance."""
         now = self._now_fn()
-        op_usage = self._op_usage = RunUsage()
         if self.tracer is not None:
             self.tracer.begin()
         with self._span("normalize"):
@@ -312,8 +332,7 @@ class MemoryEngine:
             if sp is not None:
                 sp.attributes["facts"] = len(facts)
         if not facts:
-            self._op_usage = None
-            return ExecResult(usage=op_usage)
+            return ExecResult()
         with self._span("embed", facts=len(facts)):
             vecs = self.embedder.embed(facts)
 
@@ -423,8 +442,6 @@ class MemoryEngine:
                     graph_name=graph_name,
                 )
         self._graph_dirty = True
-        self._op_usage = None
-        res.usage.incr(op_usage)
         return res
 
     def _store_graph(

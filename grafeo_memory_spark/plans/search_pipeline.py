@@ -168,9 +168,9 @@ def search_pipeline(store: Store, req: SearchRequest) -> tuple[DataFrame, list[s
     proj = merged.join(
         mem.select(
             F.col("id").alias("memory_id"), "text", "user_id", "memory_type",
-            "created_at", "importance", "access_count", "session_id",
-            "metadata", "valid_at", "invalid_at", "expired_at",
-            "_pagerank", "_betweenness",
+            "created_at", "learned_at", "importance", "access_count",
+            "session_id", "actor_id", "role", "metadata", "valid_at",
+            "invalid_at", "expired_at", "_pagerank", "_betweenness",
         ),
         "memory_id",
     )

@@ -140,3 +140,18 @@ def test_chronological_sort_flag(store):
         key=lambda i: {1: 1000, 2: 2000}[i],
     )
     assert "temporal_sort" in stages
+
+
+def test_projection_carries_actor_and_learned_at(spark):
+    """Search results include actor_id/role/learned_at (reference
+    SearchResult fields, `types.py:189-209`;
+    test_actor_in_search_results)."""
+    from grafeo_memory_spark.manager import MemoryEngine
+
+    eng = MemoryEngine(spark)
+    eng.add({"role": "user", "content": "I like hiking", "name": "alice"},
+            user_id="u", infer=False)
+    row = eng.search("hiking", user_id="u", k=1).collect()[0]
+    assert row["actor_id"] == "alice"
+    assert row["role"] == "user"
+    assert row["learned_at"] is not None
