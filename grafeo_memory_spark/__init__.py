@@ -17,3 +17,73 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Top-level surface mirroring the reference package's `__init__.py`
+# exports (engine + async engine, config, protocols, store, scoring
+# helpers, temporal hints) so `from grafeo_memory_spark import ...`
+# works the way `from grafeo_memory import ...` does.
+from grafeo_memory_spark.async_manager import AsyncMemoryEngine
+from grafeo_memory_spark.functions.scoring import (
+    ScoreConfig,
+    composite_score,
+    cross_session_boost,
+    recency_score,
+    topology_boost,
+    topology_score,
+)
+from grafeo_memory_spark.functions.temporal import (
+    TemporalHints,
+    classify_temporal,
+    normalize_messages,
+)
+from grafeo_memory_spark.lifecycle import Decision, ExecResult
+from grafeo_memory_spark.manager import MemoryEngine
+from grafeo_memory_spark.protocols import (
+    EmbeddingClient,
+    Extractor,
+    HashEmbedder,
+    IdentityReranker,
+    ImageDescriber,
+    Reconciler,
+    Reranker,
+    RunUsage,
+    ScoringReranker,
+    ScriptedDescriber,
+    ScriptedExtractor,
+    ScriptedReconciler,
+)
+from grafeo_memory_spark.session import get_spark
+from grafeo_memory_spark.store import Store, empty_store, load_store, save_store
+
+__all__ = [
+    "AsyncMemoryEngine",
+    "Decision",
+    "EmbeddingClient",
+    "ExecResult",
+    "Extractor",
+    "HashEmbedder",
+    "IdentityReranker",
+    "ImageDescriber",
+    "MemoryEngine",
+    "Reconciler",
+    "Reranker",
+    "RunUsage",
+    "ScoreConfig",
+    "ScoringReranker",
+    "ScriptedDescriber",
+    "ScriptedExtractor",
+    "ScriptedReconciler",
+    "Store",
+    "TemporalHints",
+    "classify_temporal",
+    "composite_score",
+    "cross_session_boost",
+    "empty_store",
+    "get_spark",
+    "load_store",
+    "normalize_messages",
+    "recency_score",
+    "save_store",
+    "topology_boost",
+    "topology_score",
+]

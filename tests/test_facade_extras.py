@@ -177,3 +177,14 @@ def test_no_prompts_keeps_bare_signature(spark):
     )
     res = eng.add("works without prompt kwarg", user_id="u")
     assert len(res.added_ids) == 1
+
+
+def test_package_top_level_exports():
+    """`from grafeo_memory_spark import ...` mirrors the reference
+    package surface (reference `__init__.py` exports)."""
+    import grafeo_memory_spark as g
+
+    for name in g.__all__:
+        assert hasattr(g, name), name
+    assert g.MemoryEngine is not None
+    assert g.AsyncMemoryEngine is not None
