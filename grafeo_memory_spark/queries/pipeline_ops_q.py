@@ -31,7 +31,7 @@ from grafeo_memory_spark.pipeline.text_stats import (
     BPE_TOKEN_RE,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_table
+from grafeo_memory_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------- SQL
 # fragments mirroring pipeline/dedup.py + text_stats.py exactly
@@ -161,7 +161,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-trigram shingle hashes per salted hash function. The sketch
     itself is oracle-verified bit-for-bit — the LSH banding above it is
     pure arithmetic on these values."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
     return sig.select(
         F.col("id").alias("doc_id"),
@@ -180,7 +180,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (unigram votes on portable hash
     bits) — near-dups differ in few bits; Hamming-ball blocking rides
     on top."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", simhash16("text").alias("simhash")
     ).orderBy("doc_id")
@@ -220,7 +220,7 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates quadratic join fan-out and near-zero signal, so the
     graded path is the same one that survives at scale. The oracle
     applies the identical cap."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = jaccard_similarity_join(
         docs, "text", "doc_id", n=3, min_intersection=2, df_cap=64
     )
@@ -251,7 +251,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking: same 8-bit bucket → exact cosine verify ≥ 0.2. The
     deterministic planes mean the oracle reproduces the *same*
     approximation — bucketing is verified, not just sampled."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     sig = emb.select(
         "vec_id", "embedding", hyperplane_signature("embedding", PLANES).alias("bucket")
     )
@@ -304,7 +304,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 for 3 probes: the scale path for batch
     similarity search — the bucket equi-join replaces the brute-force
     cross join (multi_probe covers the exact baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
     )
@@ -345,7 +345,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis per document: stopword-heuristic language ID,
     whitespace + BPE-ish token counts, and the quality composite
     (length / stopword density / punctuation / word-length sanity)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         lang_id("text").alias("lang_guess"),
@@ -370,7 +370,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-8 sketch fingerprint per document (k smallest trigram
     hashes, md5-folded) — a compact blocking key for near-dup
     clustering."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
     ).orderBy("doc_id")
