@@ -29,7 +29,7 @@ from grafeo_memory_spark.operators.traversals import (
     two_hop_memories,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_fixture
+from grafeo_memory_spark.sources.tables import load_fixture, spread
 
 #: correctness gate runs at sf0.01 — oracle SQL reads fixtures there
 FIX = "/root/repo/fixtures/sf0.01"
@@ -164,8 +164,10 @@ def q_relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference nests them per result; `collect_list(struct(...))` would
     re-nest identically)."""
     mem = load_fixture(spark, sf_dir, "memories").where(F.col("user_id") == "carol")
+    # every join here broadcasts the small side, so without spreading
+    # the 300k-edge scan the whole chain runs on ONE input split
     out = relation_triples(
-        load_fixture(spark, sf_dir, "edges"),
+        spread(load_fixture(spark, sf_dir, "edges")),
         load_fixture(spark, sf_dir, "entities"),
     ).join(mem.select(F.col("id").alias("memory_id")), "memory_id")
     return out.select(

@@ -249,3 +249,19 @@ def test_ivf_assign_and_probe_recall(spark):
     assert len(ids) == 5
     assert all(i == 1 or 100 <= i < 200 for i in ids)  # only y-list probed
     assert ids[0] == 1  # exact match (the y seed itself) first
+
+
+def test_spread_fans_out_and_is_noop_when_wide(spark):
+    """spread() raises the partition count of a narrow scan to the
+    core count for CPU-bound per-row work, and leaves already-wide
+    inputs untouched (no added shuffle on the at-scale path)."""
+    from grafeo_memory_spark.sources.tables import spread
+
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    out = spread(narrow, min_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 100
+
+    wide = spark.range(100).repartition(16)
+    assert spread(wide, min_partitions=8) is wide
