@@ -253,6 +253,27 @@ def get_communities(store: Store, user_id: str) -> DataFrame:
     )
 
 
+def get_community_context(
+    store: Store, entity_names: list[str], user_id: str
+) -> DataFrame:
+    """Communities containing ANY of the given entities (reference
+    `get_community_context`, `communities.py:241-280`): the search-time
+    enrichment read — anchor entities → their communities, with the
+    full member list. Name matching is case-insensitive like the
+    reference's lowered name_set. Empty input → empty result without a
+    job (reference early return)."""
+    base = get_communities(store, user_id)
+    if not entity_names:
+        return base.limit(0)
+    name_set = [n.lower() for n in entity_names]
+    return base.where(
+        F.exists(
+            "member_entities",
+            lambda m: F.lower(m).isin(name_set),
+        )
+    )
+
+
 def connected_components(
     edges_sym: DataFrame, max_iter: int = 50
 ) -> DataFrame:

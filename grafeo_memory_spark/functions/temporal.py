@@ -95,7 +95,7 @@ def parse_date_ms(s: str | int | None) -> int | None:
     ints (already-parsed values riding a decision dict) pass through."""
     if isinstance(s, (int, float)) and not isinstance(s, bool):
         return int(s)
-    if not s:
+    if not s or not isinstance(s, str):
         return None
     s = s.strip()
     for parse in (

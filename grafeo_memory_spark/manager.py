@@ -1299,3 +1299,13 @@ class MemoryEngine:
         from grafeo_memory_spark.communities import get_communities
 
         return get_communities(self.store, user_id)
+
+    def get_community_context(
+        self, entity_names: list[str], *, user_id: str = "default"
+    ) -> DataFrame:
+        """Communities containing any of the given entities — the
+        search-time context enrichment (reference
+        `get_community_context`, `communities.py:241-280`)."""
+        from grafeo_memory_spark.communities import get_community_context
+
+        return get_community_context(self.store, entity_names, user_id)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from grafeo_memory_spark.functions.temporal import parse_date_ms
+from grafeo_memory_spark.functions.temporal import classify_temporal, parse_date_ms
 from grafeo_memory_spark.manager import MemoryEngine
 from grafeo_memory_spark.protocols import (
     ScriptedExtractor,
@@ -136,3 +136,50 @@ class TestBiTemporalAdd:
         )
         assert inside.count() == 1
         assert after.count() == 0
+
+
+class TestPointInTimeHints:
+    """Point-in-time phrasings set the hint (reference
+    `tests/test_bitemporal.py` TestPointInTimeHints)."""
+
+    def test_as_of_detected(self):
+        h = classify_temporal("What was Alice's job as of 2023?")
+        assert "point_in_time" in h.signals
+        assert h.is_temporal
+        assert h.point_in_time_hint == parse_date_ms("2023")
+
+    def test_at_that_point_detected(self):
+        h = classify_temporal("Who was the manager at that point?")
+        assert "point_in_time" in h.signals
+        assert h.point_in_time_hint is None  # no explicit date
+
+    def test_back_then_is_past_state(self):
+        # "back then" reads as past-state (expired versions visible),
+        # the reference flags it for historical retrieval too
+        h = classify_temporal("What did the team look like back then?")
+        assert h.include_expired and h.is_temporal
+
+    def test_in_year_detected(self):
+        h = classify_temporal("What projects were active in 2022?")
+        assert "point_in_time" in h.signals
+        assert h.point_in_time_hint == parse_date_ms("2022")
+
+    def test_on_date_detected(self):
+        h = classify_temporal("What was true on 2023-05-01?")
+        assert h.point_in_time_hint == parse_date_ms("2023-05-01")
+
+    def test_no_false_positive(self):
+        h = classify_temporal("Where does Alice work now?")
+        assert "point_in_time" not in h.signals
+
+
+class TestParseDateEdgeCases:
+    def test_year_overflow_returns_none(self):
+        assert parse_date_ms("9999999999") is None
+
+    def test_garbage_year_returns_none(self):
+        assert parse_date_ms("abcd") is None
+
+    def test_bool_not_treated_as_epoch(self):
+        # bool is an int subclass; must not pass through as epoch ms
+        assert parse_date_ms(True) is None or parse_date_ms(True) != 1

@@ -302,3 +302,61 @@ class TestEngineFacade:
         eng.usage_callback = lambda op, u: seen.append(op)
         eng.detect_communities(user_id="u")  # unchanged → skip, no call
         assert "community_summary" not in seen
+
+
+class TestCommunityContext:
+    """get_community_context (reference `communities.py:241-280`;
+    `tests/test_communities.py` TestCommunityContext)."""
+
+    def _eng(self, spark):
+        from grafeo_memory_spark.manager import MemoryEngine
+        from grafeo_memory_spark.protocols import ScriptedExtractor
+
+        t = [1_000_000]
+
+        def now():
+            t[0] += 1000
+            return t[0]
+
+        ext = ScriptedExtractor([
+            {"facts": ["alice and bob work together"],
+             "entities": [{"name": "alice", "entity_type": "person"},
+                          {"name": "bob", "entity_type": "person"}],
+             "relations": [{"source": "alice", "target": "bob",
+                            "relation_type": "knows"}]},
+            {"facts": ["carol and dan play chess"],
+             "entities": [{"name": "carol", "entity_type": "person"},
+                          {"name": "dan", "entity_type": "person"}],
+             "relations": [{"source": "carol", "target": "dan",
+                            "relation_type": "knows"}]},
+        ])
+        eng = MemoryEngine(spark, extractor=ext, now_fn=now)
+        eng.add("alice and bob work together", user_id="u")
+        eng.add("carol and dan play chess", user_id="u")
+        eng.detect_communities(user_id="u")
+        return eng
+
+    def test_context_for_entity(self, spark):
+        """An anchor entity pulls only its own community
+        (ref test_community_context_for_entity)."""
+        eng = self._eng(spark)
+        got = eng.get_community_context(["Alice"], user_id="u").collect()
+        assert len(got) == 1
+        assert set(got[0]["member_entities"]) == {"alice", "bob"}
+
+    def test_context_no_match(self, spark):
+        """Unknown entities → empty (ref test_community_context_no_match)."""
+        eng = self._eng(spark)
+        assert eng.get_community_context(["zeus"], user_id="u").count() == 0
+
+    def test_context_empty_entity_list(self, spark):
+        """Empty input → empty without scanning
+        (ref test_get_community_context_empty_entity_list)."""
+        eng = self._eng(spark)
+        assert eng.get_community_context([], user_id="u").count() == 0
+
+    def test_context_filters_by_user(self, spark):
+        """Another user sees nothing
+        (ref test_get_community_context_filters_by_user)."""
+        eng = self._eng(spark)
+        assert eng.get_community_context(["alice"], user_id="v").count() == 0
