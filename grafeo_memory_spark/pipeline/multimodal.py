@@ -10,12 +10,14 @@ kernels come in two tiers:
   needed): BMP and PNG decode/encode (`decode_image`, `encode_bmp`,
   `encode_png`), baseline JPEG decode/encode (`pipeline/jpeg.py` —
   Huffman entropy coding, IDCT, chroma upsampling per ITU T.81),
-  nearest-neighbor resize (`real_resize`), and WAV audio features
-  (`real_audio_features`). These are genuine byte-level codecs — zlib
-  inflate + PNG unfiltering, JPEG entropy decode, BMP row parsing,
-  RIFF/WAV PCM frames — not fakes.
+  nearest-neighbor resize (`real_resize`), WAV audio features
+  (`real_audio_features`), and AVI/MJPEG video demux
+  (`real_frame_sample`, `pipeline/avi.py`). These are genuine
+  byte-level codecs — zlib inflate + PNG unfiltering, JPEG entropy
+  decode, BMP row parsing, RIFF/WAV PCM frames, RIFF/AVI movi-chunk
+  walking — not fakes.
 - Injectable slots for formats whose codecs genuinely need external
-  libraries (WebP/AVIF, progressive JPEG, MP3, ffmpeg-backed video):
+  libraries (WebP/AVIF, progressive JPEG, MP3, ffmpeg video):
   pass ``decode=`` / ``resize=`` / ``extract=`` callables; unsupported
   magic bytes raise ``NotImplementedError`` naming the slot.
   ``fake_*`` deterministic stand-ins remain for library-free pipeline
@@ -407,26 +409,60 @@ def audio_features(
     )
 
 
+def fake_frame_sample(
+    payload: bytes, every_nth: int = 10, max_frames: int = 4
+) -> list[bytes]:
+    """Deterministic stand-in frame extractor: payload sliced into
+    chunks standing in for decoded frames."""
+    if payload is None:
+        return []
+    n = min(max_frames, max(1, len(payload) // every_nth))
+    step = max(1, len(payload) // n)
+    return [payload[i * step : (i + 1) * step] for i in range(n)]
+
+
+def real_frame_sample(
+    payload: bytes, every_nth: int = 10, max_frames: int = 4
+) -> list[bytes]:
+    """REAL video kernel: AVI/MJPEG container bytes → every
+    ``every_nth``-th frame payload (a decodable baseline JPEG), up to
+    ``max_frames``. Containers that need ffmpeg (MP4/H.264, WebM)
+    stay injectable via the ``sample=`` slot."""
+    from grafeo_memory_spark.pipeline import avi
+
+    if payload is None:
+        return []
+    if not avi.is_avi(payload):
+        raise NotImplementedError(
+            f"no stdlib demuxer for magic {bytes(payload[:4])!r} "
+            "(MP4/WebM need an injected sample kernel)"
+        )
+    frames = avi.parse_avi_frames(payload)
+    return frames[:: max(1, every_nth)][:max_frames]
+
+
 def sample_frames(
-    assets: DataFrame, every_nth: int = 10, max_frames: int = 4
+    assets: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 4,
+    *,
+    sample: Callable[[bytes, int, int], list[bytes]] | None = None,
 ) -> DataFrame:
-    """Video assets → sampled frame rows. The frame *extraction* is the
-    deterministic fake (payload sliced into chunks standing in for
-    decoded frames); the batch shape, fan-out (one row per frame) and
-    schema match what a real ffmpeg-backed kernel would emit."""
+    """Video assets → sampled frame rows via Arrow-batched mapInPandas
+    (one output row per frame). The kernel slot takes
+    (payload, every_nth, max_frames) → list of frame payloads;
+    ``real_frame_sample`` demuxes AVI/MJPEG into decodable JPEGs, the
+    default fake keeps the fan-out path testable container-free."""
+    sample = sample or fake_frame_sample
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"asset_id": [], "frame_index": [], "frame_payload": []}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None:
-                    continue
-                n = min(max_frames, max(1, len(payload) // every_nth))
-                step = max(1, len(payload) // n)
-                for i in range(n):
+                for i, frame in enumerate(sample(payload, every_nth, max_frames)):
                     out["asset_id"].append(aid)
                     out["frame_index"].append(i)
-                    out["frame_payload"].append(payload[i * step : (i + 1) * step])
+                    out["frame_payload"].append(frame)
             yield pd.DataFrame(out)
 
     return assets.where(assets.kind == "video").mapInPandas(

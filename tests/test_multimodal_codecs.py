@@ -230,3 +230,95 @@ class TestSparkPath:
         assert len(audio) == 1
         assert audio[0]["duration_ms"] == 500
         assert audio[0]["features"][0] == pytest.approx(1.0, abs=1e-2)
+
+
+class TestAviMjpeg:
+    """AVI/MJPEG container codec (pipeline/avi.py) + the real video
+    frame-sample kernel through the Spark fan-out path."""
+
+    def _frames(self, n=6, size=16):
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+
+        # distinguishable solid-gray frames: frame i has level 40*i
+        return [
+            encode_jpeg(np.full((size, size, 3), 40 * i, dtype=np.uint8), quality=95)
+            for i in range(n)
+        ]
+
+    def test_container_round_trip(self):
+        from grafeo_memory_spark.pipeline.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
+
+        frames = self._frames(5)
+        payload = encode_avi_mjpeg(frames, 16, 16, fps=4)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        assert parse_avi_frames(payload) == frames
+
+    def test_odd_length_frames_pad_even(self):
+        from grafeo_memory_spark.pipeline.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
+
+        frames = [b"\xff\xd8odd", b"\xff\xd8even"]  # lengths 5 and 6
+        assert parse_avi_frames(encode_avi_mjpeg(frames, 2, 2)) == frames
+
+    def test_parsed_frames_decode_as_jpeg(self):
+        from grafeo_memory_spark.pipeline.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
+
+        frames = self._frames(3)
+        for i, frame in enumerate(parse_avi_frames(encode_avi_mjpeg(frames, 16, 16))):
+            img = decode_image(frame)
+            assert img.shape == (16, 16, 3)
+            assert np.abs(img.astype(int) - 40 * i).max() <= 3
+
+    def test_real_frame_sample_every_nth(self):
+        from grafeo_memory_spark.pipeline.avi import encode_avi_mjpeg
+        from grafeo_memory_spark.pipeline.multimodal import real_frame_sample
+
+        frames = self._frames(6)
+        payload = encode_avi_mjpeg(frames, 16, 16)
+        assert real_frame_sample(payload, every_nth=2, max_frames=2) == [
+            frames[0],
+            frames[2],
+        ]
+        assert real_frame_sample(None) == []
+        with pytest.raises(NotImplementedError):
+            real_frame_sample(b"\x00\x00\x00\x18ftypmp42")  # MP4 — still a slot
+
+    def test_rejects_non_avi(self):
+        from grafeo_memory_spark.pipeline.avi import parse_avi_frames
+
+        with pytest.raises(ValueError):
+            parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_sample_frames_spark_real_kernel(self, spark):
+        from grafeo_memory_spark.pipeline.avi import encode_avi_mjpeg
+        from grafeo_memory_spark.pipeline.multimodal import (
+            real_frame_sample,
+            sample_frames,
+        )
+
+        frames = self._frames(4)
+        payload = encode_avi_mjpeg(frames, 16, 16)
+        assets = spark.createDataFrame(
+            [
+                (1, "video", bytearray(payload), None),
+                (2, "image", bytearray(b"not video"), None),
+            ],
+            "asset_id long, kind string, payload binary, meta string",
+        )
+        rows = sorted(
+            sample_frames(assets, every_nth=1, max_frames=3,
+                          sample=real_frame_sample).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [r["asset_id"] for r in rows] == [1, 1, 1]
+        assert [bytes(r["frame_payload"]) for r in rows] == frames[:3]
+        # each sampled frame is a genuinely decodable JPEG
+        assert decode_image(bytes(rows[1]["frame_payload"])).shape == (16, 16, 3)
