@@ -456,7 +456,12 @@ def consolidate(
     victims: list[int] = []
     for i in range(0, len(rows), batch_size):
         batch = rows[i : i + batch_size]
-        summary = summarize_batch([r["text"] for r in batch])
+        try:
+            summary = summarize_batch([r["text"] for r in batch])
+        except Exception:
+            # LLM failure skips this batch; its originals are preserved
+            # (reference tests/test_manager.py:923-940)
+            continue
         sid = next_node_id
         next_node_id += 1
         d = Decision(ADD, summary)
@@ -482,6 +487,9 @@ def consolidate(
                      new_text=None, timestamp=now_ms, actor_id=None, role=None)
             )
             victims.append(r["id"])
+
+    if not new_rows:
+        return store, [], next_node_id, next_edge_id
 
     # hard-delete originals FIRST, then attach the DERIVED_FROM lineage
     # edges — otherwise the dangling-edge cleanup would cascade-delete

@@ -22,6 +22,7 @@ import shutil
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMBEDDING_DIMS = 16  # fixture/test dimensionality; configurable per store
@@ -172,12 +173,35 @@ def empty_store(spark: SparkSession) -> Store:
     )
 
 
+#: defaults for columns that older snapshots may lack (reference
+#: backward-compat: memories without importance props read as 1.0 / 0,
+#: tests/test_manager.py:1131-1146; missing memory_type is NULL ≡
+#: semantic, F6).
+_COMPAT_DEFAULTS = {"importance": 1.0, "access_count": 0}
+
+
+def _reconcile(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Evolve an older-version table to the current schema: add any
+    missing column with its compat default (NULL otherwise), cast to
+    the canonical type, project in schema order. Pure metadata — adds
+    no shuffle and keeps parquet column pruning intact."""
+    have = {f.name for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType))
+        else:
+            default = F.lit(_COMPAT_DEFAULTS.get(field.name))
+            cols.append(default.cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def load_store(spark: SparkSession, path: str) -> Store:
     tables = {}
     for name, schema in TABLE_SCHEMAS.items():
         p = os.path.join(path, f"{name}.parquet")
         if os.path.exists(p):
-            tables[name] = spark.read.parquet(p)
+            tables[name] = _reconcile(spark.read.parquet(p), schema)
         else:
             # stores saved before the communities table existed
             tables[name] = spark.createDataFrame([], schema)

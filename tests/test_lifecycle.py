@@ -387,3 +387,44 @@ def test_public_update_re_embeds(spark):
     got = eng.search("replacement topic", user_id="u", k=1).collect()
     assert got[0]["memory_id"] == mid
     assert got[0]["text"] == "replacement topic"
+
+
+def test_summarize_policy_failure_skips_batch(engine):
+    """An LLM failure for a batch skips that batch and preserves its
+    originals (reference tests/test_manager.py:923-940)."""
+    for i in range(4):
+        engine.add(f"old fact {i}", user_id="ivy", infer=False)
+
+    def boom(texts):
+        raise RuntimeError("llm down")
+
+    sids = engine.summarize(
+        user_id="ivy", summarize_batch=boom, preserve_recent=1, batch_size=10
+    )
+    assert sids == []
+    texts = {r["text"] for r in engine.get_all(user_id="ivy").collect()}
+    assert texts == {f"old fact {i}" for i in range(4)}
+
+
+def test_summarize_partial_failure_consolidates_surviving_batches(engine):
+    """With batch_size=2 and the policy failing only on the first
+    batch, the second batch still consolidates."""
+    for i in range(5):
+        engine.add(f"note {i}", user_id="jay", infer=False)
+
+    calls = []
+
+    def flaky(texts):
+        calls.append(list(texts))
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+        return "summary: " + "; ".join(texts)
+
+    sids = engine.summarize(
+        user_id="jay", summarize_batch=flaky, preserve_recent=1, batch_size=2
+    )
+    assert len(sids) == 1  # batches: [0,1] failed, [2,3] summarized
+    texts = {r["text"] for r in engine.get_all(user_id="jay").collect()}
+    assert "note 0" in texts and "note 1" in texts  # failed batch preserved
+    assert "note 2" not in texts and "note 3" not in texts
+    assert "note 4" in texts  # preserve_recent

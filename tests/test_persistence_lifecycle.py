@@ -83,3 +83,35 @@ class TestPersistenceLifecycle:
         new_id = upd.updated_ids[0]
         events = [r["event"] for r in back.history(new_id).collect()]
         assert "UPDATE" in events
+
+    def test_old_snapshot_without_importance_columns_reads_defaults(
+        self, spark, tmp_path
+    ):
+        """Backward compat (reference tests/test_manager.py:1131-1146):
+        a store saved by a version without importance/access_count gets
+        defaults 1.0 / 0 on load; other new columns read as NULL."""
+        path = str(tmp_path / "db")
+        eng = MemoryEngine(spark, now_fn=lambda: 1_000)
+        _add3(eng)
+        eng.save(path)
+
+        # simulate the old snapshot: rewrite memories without the
+        # importance-era columns
+        import os
+
+        p = os.path.join(path, "memories.parquet")
+        stripped = spark.read.parquet(p).drop("importance", "access_count")
+        stripped.write.mode("overwrite").parquet(p + ".old")
+        import shutil
+
+        shutil.rmtree(p)
+        os.replace(p + ".old", p)
+
+        back = MemoryEngine.open(spark, path, now_fn=lambda: 2_000)
+        rows = back.get_all(user_id="u").collect()
+        assert len(rows) == 3
+        got = back.store.memories.select("importance", "access_count").collect()
+        assert all(r["importance"] == 1.0 and r["access_count"] == 0 for r in got)
+        # and search still works over the evolved schema
+        hits = back.search("beta fact", user_id="u", k=1).collect()
+        assert hits and hits[0]["text"] == "beta fact"
