@@ -304,7 +304,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 for 3 probes: the scale path for batch
     similarity search — the bucket equi-join replaces the brute-force
     cross join (multi_probe covers the exact baseline)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
     )

@@ -14,7 +14,7 @@ from grafeo_memory_spark.plans.search_pipeline import SearchRequest, search_pipe
 from grafeo_memory_spark.queries import query
 from grafeo_memory_spark.queries.graph_q import _ANCHOR_SQL, _EDG, _ENT, _MEM, ANCHORS
 from grafeo_memory_spark.queries.scoring_q import NOW_MS
-from grafeo_memory_spark.sources.tables import load_fixture, spread
+from grafeo_memory_spark.sources.tables import load_fixture
 from grafeo_memory_spark.store import Store
 
 _COS = (
@@ -124,9 +124,7 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns) → composite re-score (R5, pinned clock, default weights,
     missing importance ≡ 0.5) → top-20."""
     store = Store(
-        # cosine scans every user-scoped row: fan the single-file scan
-        # out to the cores first (sources/tables.spread contract)
-        memories=spread(load_fixture(spark, sf_dir, "memories")),
+        memories=load_fixture(spark, sf_dir, "memories"),
         entities=load_fixture(spark, sf_dir, "entities"),
         edges=load_fixture(spark, sf_dir, "edges"),
         episodes=load_fixture(spark, sf_dir, "episodes"),

@@ -26,7 +26,7 @@ from grafeo_memory_spark.functions.vector import (
     mmr_select,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_table, spread
+from grafeo_memory_spark.sources.tables import load_table
 
 QUERY_TERMS = ["spark", "vector", "hash"]
 _TERMS_SQL = "('spark'), ('vector'), ('hash')"
@@ -108,7 +108,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     20+20-row fusion join — everything after the scans touches ≤40 rows.
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     index = build_text_index(docs, "doc_id", "text")
     bm = bm25_scores(index, QUERY_TERMS).withColumn(
         "bm25r", F.round("bm25", 6)
@@ -173,7 +173,7 @@ def q_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probes = embeddings of ids {0,1,2} (a 3-fact batch); threshold 0.2.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
     )
@@ -236,7 +236,7 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not-yet-chosen candidates (VERDICT r2 item 4) — so the selection
     order and scores are hash-verified, not just row-counted.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()
     qv = list(qrow[0][0])
     cands = knn(

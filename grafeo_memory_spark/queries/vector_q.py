@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from grafeo_memory_spark.functions.vector import cosine_similarity
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_table, spread
+from grafeo_memory_spark.sources.tables import load_table
 
 # DuckDB cosine with explicit double casts so the float32 parquet values
 # go through the exact same double-precision fold as the Spark side.
@@ -44,7 +44,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical plan: parquet scan → codegen'd project(sim) →
     TakeOrderedAndProject. No shuffle; scales linearly with executors.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     scored = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(_query_row(emb)))
@@ -71,7 +71,7 @@ def similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/V4 — reconciliation similarity gate: keep candidates with
     cosine >= 0.3 (reference `search/vector.py:327-332`, default
     `similarity_threshold` at `types.py:59`)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     scored = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(_query_row(emb)))
@@ -137,7 +137,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the lists are partition-pruned (see pipeline/ann.py ivf_*
     for the literal-codebook codegen variant of the same operator).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     cent = (
         emb.orderBy("vec_id")
         .limit(8)
