@@ -109,8 +109,13 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"))
         )
+        # carry the old rank through the update so the stats job below
+        # is a plain aggregation — no old-vs-new self-join per iteration
         new_ranks = (
-            verts.join(contrib, "node_id", "left")
+            ranks.select(
+                "node_id", "is_dangling", F.col("pagerank").alias("_pr_old")
+            )
+            .join(contrib, "node_id", "left")
             .select(
                 "node_id",
                 "is_dangling",
@@ -119,21 +124,21 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("pagerank"),
+                "_pr_old",
             )
             .localCheckpoint()
         )
         delta, dangling = (
-            new_ranks.select("node_id", "is_dangling", F.col("pagerank").alias("pr_new"))
-            .join(ranks.select("node_id", "pagerank"), "node_id")
-            .agg(
-                F.sum(F.abs(F.col("pr_new") - F.col("pagerank"))),
+            new_ranks.agg(
+                F.sum(F.abs(F.col("pagerank") - F.col("_pr_old"))),
                 F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("pr_new"))), F.lit(0.0)
+                    F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))),
+                    F.lit(0.0),
                 ),
             )
             .collect()[0]
         )
-        ranks = new_ranks
+        ranks = new_ranks.select("node_id", "is_dangling", "pagerank")
         if delta is not None and delta < tol:
             break
     return ranks.select("node_id", "pagerank")
@@ -175,22 +180,22 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # next iteration, and truncated lineage keeps per-iteration cost
         # constant instead of re-executing prior rounds inside each
         # action.
+        # carry the old label through the update so the changed-count
+        # job is a plain filter+count — no old-vs-new join per round
         new_labels = (
-            labels.select("node_id")
+            labels.select("node_id", F.col("community").alias("_c_old"))
             .join(new_labels, "node_id", "left")
             .select(
                 "node_id",
                 F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
+                "_c_old",
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.withColumnRenamed("community", "c_new")
-            .join(labels, "node_id")
-            .where(F.col("c_new") != F.col("community"))
-            .count()
+            new_labels.where(F.col("community") != F.col("_c_old")).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node_id", "community")
         if changed == 0:
             break
     return labels
