@@ -300,23 +300,24 @@ def connected_components(
             .groupBy(F.col("nbr").alias("node_id"))
             .agg(F.min("component").alias("_nbr_comp"))
         )
+        # old label rides the update so the fixpoint check is a plain
+        # filter — no old-vs-new join per round
         new_labels = (
-            labels.join(nbr_min, "node_id", "left")
+            labels.select("node_id", F.col("component").alias("_c_old"))
+            .join(nbr_min, "node_id", "left")
             .select(
                 "node_id",
                 F.least(
-                    F.col("component"), F.coalesce("_nbr_comp", "component")
+                    F.col("_c_old"), F.coalesce("_nbr_comp", "_c_old")
                 ).alias("component"),
+                "_c_old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        done = new_labels.where(
+            F.col("component") != F.col("_c_old")
+        ).isEmpty()
+        labels = new_labels.select("node_id", "component")
+        if done:
             break
     return labels

@@ -542,16 +542,20 @@ def betweenness_centrality(
         frontier = nxt
 
     # backward accumulation by descending depth:
-    # delta(v) += sigma_v/sigma_w * (1 + delta_w) for BFS-successors w
-    delta = visited.select("s", "v").withColumn("delta", F.lit(0.0))
+    # delta(v) = Σ_w sigma_v/sigma_w * (1 + delta_w) over BFS-successors
+    # w. The shortest-path DAG of an unweighted BFS only connects
+    # consecutive levels, so deltas are computed per level — each step
+    # touches one level's rows, not the whole visited set (the full
+    # (s,v) table is never rewritten).
+    deltas = [
+        levels[-1].select("s", "v").withColumn("delta", F.lit(0.0))
+    ]
     for d in range(len(levels) - 1, 0, -1):
         lower = levels[d].select("s", "v", "sigma")
         upper = levels[d - 1].select("s", "v", "sigma")
-        dlt = delta.join(
-            lower.select("s", "v"), ["s", "v"]
-        )  # deltas of depth-d nodes
+        lower_delta = deltas[-1]  # (s, v, delta) of depth-d nodes
         contrib = (
-            lower.join(dlt, ["s", "v"])
+            lower.join(lower_delta, ["s", "v"])
             .withColumnRenamed("v", "w")
             .withColumnRenamed("sigma", "sigma_w")
             .join(
@@ -573,20 +577,22 @@ def betweenness_centrality(
             .groupBy("s", "v")
             .agg(F.sum("add").alias("add"))
         )
-        delta = (
-            delta.join(contrib, ["s", "v"], "left")
+        deltas.append(
+            upper.select("s", "v")
+            .join(contrib, ["s", "v"], "left")
             .select(
                 "s",
                 "v",
-                (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias(
-                    "delta"
-                ),
+                F.coalesce(F.col("add"), F.lit(0.0)).alias("delta"),
             )
             .localCheckpoint()
         )
 
+    all_delta = deltas[0]
+    for lvl in deltas[1:]:
+        all_delta = all_delta.unionByName(lvl)
     bc = (
-        delta.where(F.col("s") != F.col("v"))
+        all_delta.where(F.col("s") != F.col("v"))
         .groupBy(F.col("v").alias("node_id"))
         .agg((F.sum("delta") / 2.0).alias("betweenness"))  # undirected halving
     )
