@@ -61,6 +61,17 @@ def main() -> None:
         )
     )
 
+    # Steady-state warm-up: run every query once at the smallest SF so
+    # each measured number reflects the plan's cost at the target SF,
+    # not whichever query happened to pay first-run codegen/planning.
+    tiny = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        for name, fn in queries.items():
+            try:
+                _execute(fn(spark, tiny))
+            except Exception:
+                pass  # the measured run reports the failure
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries.items():
