@@ -538,7 +538,9 @@ def betweenness_centrality(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # union of already-checkpointed level frames — lineage is flat
+        # without re-materializing the whole visited set every level
+        visited = visited.unionByName(nxt)
         frontier = nxt
 
     # backward accumulation by descending depth:
