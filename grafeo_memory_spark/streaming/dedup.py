@@ -1,0 +1,207 @@
+"""Streaming deduplication for continuous corpus ingest (builder
+brief: training-data pipelines ingest forever; dedup can't be a
+batch-only pass).
+
+Two tiers, matching the batch operators in ``pipeline/dedup.py``:
+
+- **Exact**: content-hash key + ``dropDuplicatesWithinWatermark`` —
+  Spark's native streaming dedup operator. State is bounded by the
+  watermark horizon (keys older than the watermark are evicted), so it
+  runs indefinitely at ingest scale; duplicates arriving farther apart
+  than the horizon are caught downstream by the batch pass.
+- **Near-dup (MinHash/LSH)**: a ``foreachBatch`` sink that keeps the
+  corpus band table in versioned parquet snapshots (the
+  ``SessionChainSink`` state pattern — nothing driver-resident). Per
+  batch: signature + band the new docs (one explode + one groupBy),
+  drop docs colliding with the stored corpus bands or with a
+  smaller-id batch sibling, append survivors' docs and bands. The
+  band-table join is an equi-join on (band, band_hash) — the same
+  bucketed, never-all-pairs shape as the batch LSH path.
+
+A lakehouse deployment swaps the versioned snapshots for MERGE INTO on
+a Delta/Iceberg band table; the per-batch logical plan is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from grafeo_memory_spark.pipeline.dedup import (
+    content_hash,
+    lsh_bands,
+    minhash_signature,
+)
+
+#: file-stream schema for document ingest tests/backfills
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),  # event-time, epoch ms
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(path)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup on normalized content hash. Streaming
+    input → ``dropDuplicatesWithinWatermark`` (bounded state, eviction
+    past the horizon); batch input → plain ``dropDuplicates`` on the
+    same key, so the operator composes with backfills unchanged."""
+    keyed = docs.withColumn("_ckey", content_hash(text_col))
+    if not docs.isStreaming:
+        return keyed.dropDuplicates(["_ckey"]).drop("_ckey")
+    return (
+        keyed.withColumn(
+            "_evt", F.timestamp_millis(F.col(ts_col).cast("long"))
+        )
+        .withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["_ckey"])
+        .drop("_ckey", "_evt")
+    )
+
+
+@dataclass
+class IncrementalDedupSink:
+    """foreachBatch near-dup sink: survivors append to a
+    batch_id-partitioned parquet table (overwrite-per-batch-dir →
+    idempotent replays) and the corpus band table advances as versioned
+    snapshots keyed by batch_id. State reads take the newest version
+    strictly *below* the current batch_id, so a replayed batch sees the
+    pre-batch corpus — not its own output — and reproduces the same
+    survivor set instead of dropping everything as self-duplicates."""
+
+    survivors_path: str
+    state_path: str
+    num_perm: int = 16
+    bands: int = 4
+    rows: int = 4
+    shingle_n: int = 3
+    keep_versions: int = 2
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.state_path):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(self.state_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _read_bands(
+        self, spark: SparkSession, before: int | None = None
+    ) -> DataFrame | None:
+        vs = self._versions()
+        if before is not None:
+            vs = [v for v in vs if v < before]
+        if not vs:
+            return None
+        return spark.read.parquet(os.path.join(self.state_path, f"v{vs[-1]}"))
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = self._read_bands(spark, before=batch_id)
+
+        # exact within-batch first: smallest doc_id wins per content key
+        batch = (
+            batch.withColumn("_ckey", content_hash("text"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_ckey").orderBy(F.col("doc_id").asc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_ckey", "_rn")
+        )
+
+        sig = minhash_signature(
+            batch, "text", "doc_id", num_perm=self.num_perm, n=self.shingle_n
+        )
+        new_bands = lsh_bands(sig, self.bands, self.rows)
+
+        # drop: collides with the stored corpus, or with a smaller-id
+        # sibling in the same batch bucket (greedy keep-first)
+        dominated = (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") > F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+        dropped = dominated
+        if prior is not None:
+            vs_corpus = (
+                new_bands.join(
+                    prior, ["band", "band_hash"], "left_semi"
+                ).select("id").distinct()
+            )
+            dropped = dropped.unionByName(vs_corpus).distinct()
+
+        survivors = batch.join(
+            dropped.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self.survivors_path, f"batch_id={batch_id}")
+        )
+
+        surv_bands = new_bands.join(
+            survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        if prior is not None:
+            surv_bands = prior.unionByName(surv_bands)
+        surv_bands.write.mode("overwrite").parquet(
+            os.path.join(self.state_path, f"v{batch_id}")
+        )
+        for v in self._versions()[: -self.keep_versions]:
+            shutil.rmtree(
+                os.path.join(self.state_path, f"v{v}"), ignore_errors=True
+            )
+
+    # ------------------------------------------------------ read side
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.survivors_path).parquet(
+            self.survivors_path + "/batch_id=*"
+        )
+
+    def corpus_bands(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_bands(spark)
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession, path: str, checkpoint: str, **sink_kw
+) -> IncrementalDedupSink:
+    """Wire the near-dup stream end-to-end with an availableNow trigger
+    (process everything present, then stop) — test/backfill mode; a
+    live deployment drops the trigger."""
+    sink = IncrementalDedupSink(
+        survivors_path=os.path.join(checkpoint, "_survivors"),
+        state_path=os.path.join(checkpoint, "_state"),
+        **sink_kw,
+    )
+    q = (
+        read_doc_stream(spark, path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

@@ -1,0 +1,133 @@
+"""Streaming dedup: exact watermarked dedup end-to-end, and the
+incremental MinHash/LSH near-dup sink — cross-batch suppression,
+within-batch keep-first, replay idempotence, and state pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from grafeo_memory_spark.streaming.dedup import (
+    DOC_STREAM_SCHEMA,
+    IncrementalDedupSink,
+    read_doc_stream,
+    run_incremental_dedup_stream,
+    streaming_exact_dedup,
+)
+
+T0 = 1_700_000_000_000
+
+ALPHA = "the quick brown fox jumps over the lazy dog again and again"
+BETA = "colorless green ideas sleep furiously every single night indeed"
+GAMMA = "completely different third document with its own unique words"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [dict(doc_id=i, ts=t, text=x) for i, t, x in rows], DOC_STREAM_SCHEMA
+    )
+
+
+def _write_batch(spark, path, rows):
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+class TestExactStreamingDedup:
+    def test_batch_fallback_same_key(self, spark):
+        out = streaming_exact_dedup(
+            _docs(spark, [(1, T0, ALPHA), (2, T0 + 1, ALPHA), (3, T0 + 2, BETA)])
+        ).collect()
+        assert {r["text"] for r in out} == {ALPHA, BETA}
+        assert len(out) == 2
+
+    def test_stream_end_to_end(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        _write_batch(spark, src, [
+            (1, T0 + 1000, ALPHA),
+            (2, T0 + 2000, ALPHA),   # dup within watermark → dropped
+            (3, T0 + 3000, BETA),
+        ])
+        dedup = streaming_exact_dedup(read_doc_stream(spark, src))
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("exact_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT doc_id, text FROM exact_dedup_out").collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 3]
+
+
+class TestIncrementalNearDup:
+    def test_cross_batch_suppression(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        _write_batch(spark, src, [(1, T0, ALPHA), (2, T0 + 1, BETA)])
+        sink = run_incremental_dedup_stream(spark, src, ckpt)
+        assert sorted(
+            r["doc_id"] for r in sink.survivors(spark).collect()
+        ) == [1, 2]
+
+        # second micro-batch: near-copy of ALPHA (one word changed)
+        # collides in at least one band; GAMMA survives
+        near_alpha = ALPHA.replace("lazy", "sleepy")
+        _write_batch(spark, src, [(10, T0 + 9000, near_alpha),
+                                  (11, T0 + 9001, GAMMA)])
+        sink = run_incremental_dedup_stream(spark, src, ckpt)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert 11 in ids and 10 not in ids
+        assert ids == [1, 2, 11]
+
+    def test_within_batch_keep_first(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        _write_batch(spark, src, [
+            (5, T0, ALPHA),
+            (7, T0 + 1, ALPHA),                      # exact dup of 5
+            # near dup of 5 — this variant provably shares band 0 with
+            # ALPHA under the fixed seeded hashes (deterministic)
+            (9, T0 + 2, ALPHA.replace("lazy", "sleepy")),
+            (3, T0 + 3, BETA),
+        ])
+        sink = run_incremental_dedup_stream(spark, src, ckpt)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [3, 5]  # smallest id per duplicate group wins
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Replaying a batch against post-batch state must reproduce the
+        same survivors (state read excludes the batch's own version)."""
+        sink = IncrementalDedupSink(
+            survivors_path=str(tmp_path / "surv"),
+            state_path=str(tmp_path / "state"),
+        )
+        b0 = _docs(spark, [(1, T0, ALPHA), (2, T0 + 1, BETA)])
+        sink(b0, 0)
+        first = sorted(
+            r["doc_id"] for r in sink.survivors(spark).collect()
+        )
+        sink(b0, 0)  # replay after v0 state exists
+        again = sorted(
+            r["doc_id"] for r in sink.survivors(spark).collect()
+        )
+        assert first == again == [1, 2]
+
+    def test_state_versions_pruned(self, spark, tmp_path):
+        sink = IncrementalDedupSink(
+            survivors_path=str(tmp_path / "surv"),
+            state_path=str(tmp_path / "state"),
+            keep_versions=2,
+        )
+        for i, text in enumerate((ALPHA, BETA, GAMMA)):
+            sink(_docs(spark, [(100 + i, T0 + i, text)]), i)
+        vs = sorted(
+            d for d in os.listdir(str(tmp_path / "state"))
+            if d.startswith("v")
+        )
+        assert vs == ["v1", "v2"]
+        # corpus bands accumulate across all three batches regardless
+        bands = sink.corpus_bands(spark)
+        assert sorted(
+            set(r["id"] for r in bands.collect())
+        ) == [100, 101, 102]
