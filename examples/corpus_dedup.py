@@ -1,0 +1,61 @@
+"""Training-corpus dedup + quality pass — the LLM-data-pipeline
+operators over the documents table (this engine's Spark-native
+extension beyond the reference surface).
+
+Exact dedup, MinHash/LSH near-dup pairs, SimHash fingerprints, and the
+language/quality/token stats, each as one declarative plan that scales
+to a cluster-sized corpus unchanged.
+
+Run: python examples/corpus_dedup.py [sf_dir]  (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.dedup import (
+    exact_dedup,
+    near_dup_pairs_minhash,
+    simhash16,
+)
+from grafeo_memory_spark.pipeline.text_stats import (
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+)
+from grafeo_memory_spark.session import get_spark
+
+
+def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = spark or get_spark(app_name="corpus-dedup")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    print(f"corpus: {docs.count()} docs")
+
+    survivors = exact_dedup(docs, "text", "doc_id")
+    print("after exact dedup:", survivors.count())
+
+    pairs = near_dup_pairs_minhash(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).limit(5)
+    print("sample near-dup pairs (jaccard >= 0.5):")
+    for r in pairs.collect():
+        print(f"  {r['id_a']} ~ {r['id_b']}")
+
+    print("\nper-doc quality/fingerprint columns (first 3):")
+    enriched = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        token_count_bpe_ish("text").alias("n_tokens"),
+        F.round(quality_score("text"), 3).alias("quality"),
+        simhash16("text").alias("simhash"),
+    ).orderBy("doc_id").limit(3)
+    for r in enriched.collect():
+        print(f"  doc {r['doc_id']}: lang={r['lang_guess']} "
+              f"tokens={r['n_tokens']} quality={r['quality']} "
+              f"simhash={r['simhash']:#06x}")
+
+
+if __name__ == "__main__":
+    main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
