@@ -35,6 +35,9 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_train",
+    "quantize_int8",
+    "dequantize_int8",
 ]
 
 
@@ -193,4 +196,87 @@ def ivf_topk(
         .select("id", cosine_similarity(F.col("v"), qv).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def ivf_train(
+    table: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined IVF codebook: start from the deterministic seeds
+    (`ivf_centroids`) and run ``iterations`` k-means rounds, each as ONE
+    distributed pass — the codegen argmax assignment (`ivf_assign`)
+    followed by a posexplode + (centroid, dim) mean. No RNG, so the
+    codebook is reproducible; empty clusters keep their previous
+    centroid. Cost per round is a table scan + one groupBy of
+    n_centroids·dims partial means — the shape that holds at 10⁹ rows.
+
+    The driver-facing `ivf_topk` query keeps the seed codebook (its
+    DuckDB oracle must reproduce the codebook in SQL); use this trainer
+    when recall matters more than oracle replayability.
+    """
+    centroids = ivf_centroids(
+        table, n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            table, centroids, vec_col=vec_col, id_col=id_col
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("c"),
+            )
+            .collect()
+        )
+        new = dict(centroids)
+        for r in means:
+            new[r["centroid_id"]] = [float(x) for x in r["c"]]
+        centroids = sorted(new.items())
+    return centroids
+
+
+def quantize_int8(vec_col: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale, q) where
+    scale = max|x|/127 and q = round(x/scale) as tinyint. 4× smaller
+    embedding storage/shuffle; pure codegen (transform + aggregate),
+    no UDF. Zero vectors quantize to scale 0 / all-zero q."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    amax = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / (amax / F.lit(127.0)))
+            .cast("int")
+            .cast("tinyint"),
+        )
+    )
+    return F.struct(scale, q.alias("q"))
+
+
+def dequantize_int8(qstruct: Column | str) -> Column:
+    """Inverse of `quantize_int8`: struct(scale, q) → array<double>."""
+    s = F.col(qstruct) if isinstance(qstruct, str) else qstruct
+    return F.transform(
+        s["q"], lambda x: x.cast("double") * s["scale"]
     )
