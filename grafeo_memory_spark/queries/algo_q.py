@@ -1,9 +1,13 @@
 """Driver queries for the iterative graph algorithms (G1-G3) over the
-fixture entity graph. Iterative fixpoints are not SQL-expressible in the
-driver's oracle harness, so these register rows-only checks; their
-numeric correctness is pinned by closed-form unit tests against
-hand-computed power-iteration/Brandes oracles
-(tests/test_graph_algorithms.py).
+fixture entity graph.
+
+Fixed-iteration / depth-bounded fixpoints ARE SQL-expressible: the
+pagerank and betweenness oracles unroll the iteration as a MATERIALIZED
+CTE chain reproducing the exact per-step arithmetic, and LPA uses a
+recursive CTE — so the driver hash-verifies the distributed loops
+end-to-end. Only Louvain stays rows-only (its greedy sequential argmax
+is genuinely order-dependent); its invariants are pinned by modularity
+unit tests (tests/test_graph_algorithms.py).
 """
 
 from __future__ import annotations
@@ -27,19 +31,64 @@ _EDG = f"read_parquet('{FIX}/edges.parquet')"
 _ENT = f"read_parquet('{FIX}/entities.parquet')"
 
 
-@query("pagerank_entities")  # iterative fixpoint — rows-only check
+def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power iteration as a MATERIALIZED CTE chain — p0..pK,
+    each step = inflow join + dangling-mass scalar, exactly the
+    per-iteration arithmetic of `graph/algorithms.pagerank`. Fixed
+    iteration count (tol=0) makes the fixpoint SQL-expressible, so the
+    driver hash-verifies the distributed loop end-to-end instead of the
+    former rows-only check."""
+    pre = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT src, dst FROM {_EDG} WHERE edge_type = 'RELATION'),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM
+      (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    p0 AS MATERIALIZED (
+      SELECT v.node_id, (o.src IS NULL) AS dang, 1.0/nn.n AS rank
+      FROM (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges) v
+      CROSS JOIN nn
+      LEFT JOIN (SELECT DISTINCT src FROM edges) o ON o.src = v.node_id)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT v.node_id, v.dang,
+             (1.0-{damping})/nn.n
+             + {damping} * (COALESCE(inf.s, 0.0) + dm.m/nn.n) AS rank
+      FROM p{i-1} v CROSS JOIN nn
+      CROSS JOIN (SELECT COALESCE(SUM(CASE WHEN dang THEN rank END), 0.0)
+                  AS m FROM p{i-1}) dm
+      LEFT JOIN (SELECT e.dst AS node_id, SUM(p.rank/od.od) AS s
+                 FROM p{i-1} p JOIN edges e ON e.src = p.node_id
+                 JOIN outdeg od ON od.src = p.node_id
+                 GROUP BY e.dst) inf ON inf.node_id = v.node_id)""")
+    return (
+        pre + "," + ",".join(steps)
+        + f"""
+    SELECT node_id, ROUND(rank, 6) AS pagerank FROM p{iters}
+    ORDER BY ROUND(rank, 6) DESC, node_id ASC LIMIT 50"""
+    )
+
+
+_PR_ITERS = 12
+
+
+@query("pagerank_entities", oracle=_pagerank_oracle_sql(_PR_ITERS))
 def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — PageRank over the entity RELATION graph (reference
-    `manager.py:1585-1622`), capped at 15 iterations for the bench
-    budget (tol convergence usually fires earlier on this graph);
-    top-50 ranked entities."""
+    `manager.py:1585-1622`); the driver query pins {_PR_ITERS} power
+    iterations with no tol early-exit so the oracle's unrolled CTE
+    chain reproduces the exact arithmetic (convergence mode stays the
+    engine default, pinned by closed-form unit oracles); top-50."""
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
-    pr = pagerank(edges, max_iter=15, tol=1e-6)
+    pr = pagerank(edges, max_iter=_PR_ITERS, tol=0.0)
     return (
         pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
-        .orderBy(F.col("pagerank").desc(), F.col("node_id").asc())
+        .orderBy(F.round("pagerank", 6).desc(), F.col("node_id").asc())
         .limit(50)
     )
 
@@ -174,14 +223,84 @@ def q_community_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("betweenness_sampled")  # iterative multi-source BFS — rows-only check
+def _betweenness_oracle_sql(
+    max_depth: int = 6, n_sources: int = 64, k: int = 25
+) -> str:
+    """Unrolled Brandes as a MATERIALIZED CTE chain: forward BFS levels
+    l0..lD with sigma path counts (NOT EXISTS vs the visited prefix),
+    then per-level delta accumulation dlD..dl0 — the exact level-keyed
+    arithmetic of `graph/algorithms.betweenness_centrality`, making the
+    multi-source BFS hash-verifiable instead of rows-only."""
+    pre = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT src, dst FROM {_EDG} WHERE edge_type = 'RELATION'),
+    und AS MATERIALIZED (
+      SELECT DISTINCT * FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM und),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    srcs AS MATERIALIZED (
+      SELECT src AS s FROM (
+        SELECT DISTINCT src FROM edges ORDER BY src LIMIT {n_sources})),
+    l0 AS MATERIALIZED (SELECT s, s AS v, 1.0 AS sigma FROM srcs),
+    vis0 AS MATERIALIZED (SELECT s, v FROM l0)"""
+    steps = []
+    for d in range(1, max_depth + 1):
+        steps.append(f"""
+    l{d} AS MATERIALIZED (
+      SELECT f.s, u.dst AS v, SUM(f.sigma) AS sigma
+      FROM l{d-1} f JOIN und u ON u.src = f.v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM vis{d-1} z WHERE z.s = f.s AND z.v = u.dst)
+      GROUP BY f.s, u.dst),
+    vis{d} AS MATERIALIZED (
+      SELECT s, v FROM vis{d-1} UNION ALL SELECT s, v FROM l{d})""")
+    steps.append(f"""
+    dl{max_depth} AS MATERIALIZED (
+      SELECT s, v, 0.0 AS delta FROM l{max_depth})""")
+    for d in range(max_depth, 0, -1):
+        steps.append(f"""
+    dl{d-1} AS MATERIALIZED (
+      SELECT up.s, up.v, COALESCE(c.a, 0.0) AS delta
+      FROM l{d-1} up LEFT JOIN (
+        SELECT w.s AS s, u.dst AS v,
+               SUM(uv.sigma / w.sigma * (1.0 + dw.delta)) AS a
+        FROM l{d} w
+        JOIN dl{d} dw ON dw.s = w.s AND dw.v = w.v
+        JOIN und u ON u.src = w.v
+        JOIN l{d-1} uv ON uv.s = w.s AND uv.v = u.dst
+        GROUP BY w.s, u.dst
+      ) c ON c.s = up.s AND c.v = up.v)""")
+    alld = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM dl{d}" for d in range(0, max_depth + 1)
+    )
+    return (
+        pre + "," + ",".join(steps)
+        + f""",
+    alld AS MATERIALIZED ({alld}),
+    bc AS MATERIALIZED (
+      SELECT v AS node_id, SUM(delta)/2.0 AS b
+      FROM alld WHERE s <> v GROUP BY v)
+    SELECT vt.node_id,
+           ROUND(COALESCE(bc.b, 0.0) / ((nn.n-1.0)*(nn.n-2.0)/2.0), 6)
+             AS betweenness
+    FROM verts vt CROSS JOIN nn LEFT JOIN bc ON bc.node_id = vt.node_id
+    ORDER BY ROUND(COALESCE(bc.b, 0.0) / ((nn.n-1.0)*(nn.n-2.0)/2.0), 6)
+               DESC,
+             vt.node_id ASC
+    LIMIT {k}"""
+    )
+
+
+@query("betweenness_sampled", oracle=_betweenness_oracle_sql())
 def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 — Brandes betweenness centrality feeding the R7 cross-session
     boost (reference `manager.py:1624-1631`,
     `betweenness_centrality(normalized=True)`). Source-sampled (the
     documented scale approximation, SURVEY §2.10): a fixed deterministic
     sample of 64 source vertices, all sources BFS'd concurrently in one
-    depth-keyed frontier. Top-25 central entities."""
+    depth-keyed frontier. Top-25 central entities, hash-verified against
+    the unrolled-CTE Brandes oracle."""
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
@@ -196,6 +315,6 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = betweenness_centrality(edges, sources=srcs, max_depth=6)
     return (
         bc.select("node_id", F.round("betweenness", 6).alias("betweenness"))
-        .orderBy(F.col("betweenness").desc(), F.col("node_id").asc())
+        .orderBy(F.round("betweenness", 6).desc(), F.col("node_id").asc())
         .limit(25)
     )
