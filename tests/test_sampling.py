@@ -1,0 +1,104 @@
+"""Corpus sampling ops: determinism across reruns/partitionings,
+per-stratum rates, per-key caps, and bucket edges — with a DuckDB
+cross-check for the md5-derived selection so the hash contract is
+pinned against an independent engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.sampling import (
+    length_bucket,
+    stratified_sample,
+    take_per_key,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint()
+
+
+class TestStratifiedSample:
+    def test_rates_and_missing_strata_dropped(self, docs):
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        keep, drop = langs[0], langs[1:]
+        out = stratified_sample(
+            docs, "lang", {keep: 0.5}, id_col="doc_id"
+        )
+        got = out.groupBy("lang").count().collect()
+        assert [r["lang"] for r in got] == [keep]  # others dropped
+        base = docs.where(F.col("lang") == keep).count()
+        assert 0.3 * base < got[0]["count"] < 0.7 * base
+
+    def test_deterministic_across_partitionings(self, docs):
+        frs = {r["lang"]: 0.3 for r in docs.select("lang").distinct().collect()}
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", frs, id_col="doc_id").collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs.repartition(13), "lang", frs,
+                               id_col="doc_id").collect()}
+        assert a == b and a
+
+    def test_salt_changes_selection(self, docs):
+        frs = {r["lang"]: 0.3 for r in docs.select("lang").distinct().collect()}
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", frs, id_col="doc_id").collect()}
+        c = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", frs, id_col="doc_id",
+                               salt=1).collect()}
+        assert a != c
+
+    def test_matches_duckdb_selection(self, docs, duck):
+        """The md5-threshold rule reproduces identically in DuckDB."""
+        frs = {r["lang"]: 0.4 for r in docs.select("lang").distinct().collect()}
+        spark_ids = sorted(
+            r["doc_id"] for r in
+            stratified_sample(docs, "lang", frs, id_col="doc_id").collect()
+        )
+        duck_ids = [
+            r[0] for r in duck.sql(
+                "SELECT doc_id FROM documents "
+                "WHERE ('0x' || substring(md5(doc_id || ':0'), 1, 8))"
+                "::UBIGINT / 4294967296.0 < 0.4 ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert spark_ids == duck_ids
+
+
+class TestTakePerKey:
+    def test_caps_each_key(self, docs):
+        out = take_per_key(docs, "lang", 5, id_col="doc_id")
+        counts = out.groupBy("lang").count().collect()
+        full = dict(docs.groupBy("lang").count().collect())
+        for r in counts:
+            assert r["count"] == min(5, full[r["lang"]])
+
+    def test_deterministic(self, docs):
+        a = sorted(r["doc_id"] for r in
+                   take_per_key(docs, "lang", 3, id_col="doc_id").collect())
+        b = sorted(r["doc_id"] for r in
+                   take_per_key(docs.repartition(7), "lang", 3,
+                                id_col="doc_id").collect())
+        assert a == b
+
+
+class TestLengthBucket:
+    def test_edges(self, spark):
+        df = spark.createDataFrame(
+            [(0,), (99,), (100,), (499,), (500,), (10_000,)], "n long"
+        )
+        got = [r["b"] for r in
+               df.select(length_bucket("n", [100, 500]).alias("b"))
+               .orderBy("n").collect()]
+        assert got == [0, 0, 1, 1, 2, 2]
+
+    def test_composes_with_corpus(self, docs):
+        out = docs.select(
+            length_bucket("n_chars", [200, 400, 800]).alias("b")
+        ).groupBy("b").count().collect()
+        assert sum(r["count"] for r in out) == docs.count()
+        assert all(0 <= r["b"] <= 3 for r in out)
