@@ -15,11 +15,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "stratified_sample",
     "take_per_key",
     "length_bucket",
+    "pack_greedy",
 ]
 
 
@@ -92,3 +94,58 @@ def length_bucket(
     for i in range(len(bs) - 1, -1, -1):
         expr = F.when(c < F.lit(bs[i]), F.lit(i)).otherwise(expr)
     return expr
+
+
+def pack_greedy(
+    df: DataFrame,
+    length_col: str,
+    budget: int,
+    *,
+    id_col: str,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assign rows to packs whose total
+    ``length_col`` stays ≤ ``budget`` (fixed-length training batches
+    with minimal padding). Rows never split; a single row longer than
+    the budget gets its own pack.
+
+    Scale shape: rows are hash-distributed into ``num_shards``
+    deterministic shards (one shuffle), each shard packed independently
+    by a per-group greedy first-fit inside ``applyInPandas`` — workers
+    pack in parallel and pack ids are globally unique
+    (shard * 2^32 + local). Deterministic: shard assignment is a hash
+    of the id, and within a shard rows pack in md5(id) order.
+
+    Output: input columns + ``pack_id`` (long).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("pack_id", T.LongType(), False)]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord", kind="mergesort")
+        shard = int(pdf["_shard"].iloc[0])
+        packs: list[int] = []  # remaining budget per open pack
+        ids = []
+        for ln in pdf[length_col]:
+            ln = int(ln)
+            placed = None
+            for i in range(len(packs)):
+                if packs[i] >= ln:
+                    placed = i
+                    packs[i] -= ln
+                    break
+            if placed is None:
+                packs.append(max(0, budget - ln))
+                placed = len(packs) - 1
+            ids.append((shard << 32) | placed)
+        pdf = pdf.assign(pack_id=ids)
+        return pdf.drop(columns=["_shard", "_ord"])
+
+    keyed = df.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int"),
+    ).withColumn("_ord", F.md5(F.concat_ws(":", F.col(id_col))))
+    return keyed.groupBy("_shard").applyInPandas(pack, out_schema)

@@ -102,3 +102,50 @@ class TestLengthBucket:
         ).groupBy("b").count().collect()
         assert sum(r["count"] for r in out) == docs.count()
         assert all(0 <= r["b"] <= 3 for r in out)
+
+
+class TestPackGreedy:
+    def test_every_row_assigned_once(self, docs):
+        from grafeo_memory_spark.pipeline.sampling import pack_greedy
+
+        out = pack_greedy(docs, "n_chars", budget=2000, id_col="doc_id",
+                          num_shards=8)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+    def test_packs_respect_budget(self, docs, spark):
+        from grafeo_memory_spark.pipeline.sampling import pack_greedy
+
+        budget = 2000
+        out = pack_greedy(docs, "n_chars", budget=budget, id_col="doc_id",
+                          num_shards=8)
+        sums = out.groupBy("pack_id").agg(
+            F.sum("n_chars").alias("tot"), F.count("*").alias("n")
+        ).collect()
+        for r in sums:
+            # multi-row packs stay within budget; only a single row
+            # longer than the budget may exceed it
+            assert r["tot"] <= budget or r["n"] == 1
+
+    def test_oversize_row_gets_own_pack(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import pack_greedy
+
+        df = spark.createDataFrame(
+            [(1, 50), (2, 5000), (3, 40)], "doc_id long, n long"
+        )
+        out = pack_greedy(df, "n", budget=100, id_col="doc_id",
+                          num_shards=1).collect()
+        by_id = {r["doc_id"]: r["pack_id"] for r in out}
+        assert by_id[2] != by_id[1] and by_id[2] != by_id[3]
+        assert by_id[1] == by_id[3]  # 50+40 fits one pack
+
+    def test_deterministic(self, docs):
+        from grafeo_memory_spark.pipeline.sampling import pack_greedy
+
+        a = sorted((r["doc_id"], r["pack_id"]) for r in
+                   pack_greedy(docs, "n_chars", 2000, id_col="doc_id",
+                               num_shards=8).collect())
+        b = sorted((r["doc_id"], r["pack_id"]) for r in
+                   pack_greedy(docs.repartition(11), "n_chars", 2000,
+                               id_col="doc_id", num_shards=8).collect())
+        assert a == b
