@@ -1,0 +1,61 @@
+"""Similarity search tiers — exact kNN, LSH buckets, IVF lists, and
+int8-quantized storage over an embedding column (this engine's
+Spark-native extension beyond the reference surface).
+
+Run: python examples/similarity_search.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.functions.vector import knn
+from grafeo_memory_spark.pipeline.ann import (
+    dequantize_int8,
+    ivf_assign,
+    ivf_topk,
+    ivf_train,
+    quantize_int8,
+)
+from grafeo_memory_spark.session import get_spark
+
+
+def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = spark or get_spark(app_name="similarity-search")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    print("exact brute-force top-5 (map-only scan + TakeOrdered):")
+    for r in knn(emb, qv, k=5).collect():
+        print(f"  vec {r['vec_id']}: {r['sim']:.4f}")
+
+    print("\nIVF (Lloyd-trained codebook, nprobe=4/16 lists):")
+    cents = ivf_train(emb, 16, iterations=2)
+    assigned = ivf_assign(emb, cents)
+    for r in ivf_topk(assigned, cents, qv, k=5, nprobe=4).collect():
+        print(f"  vec {r['id']}: {r['sim']:.4f}")
+
+    print("\nint8 quantization (4x smaller) — round-trip fidelity:")
+    fidelity = (
+        emb.select(
+            F.avg(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        dequantize_int8(quantize_int8("embedding")),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("mse")
+        ).collect()[0]["mse"]
+    )
+    print(f"  mean squared reconstruction error: {fidelity:.2e}")
+
+
+if __name__ == "__main__":
+    main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -20,6 +20,8 @@ EXAMPLES = [
     "usage_tracking",
     "corpus_dedup",
     "streaming_dedup",
+    "similarity_search",
+    "communities",
 ]
 
 sys.path.insert(
