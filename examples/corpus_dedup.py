@@ -43,6 +43,13 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in pairs.collect():
         print(f"  {r['id_a']} ~ {r['id_b']}")
 
+    from grafeo_memory_spark.pipeline.cleaning import gopher_quality_flags
+
+    kept = docs.where(
+        gopher_quality_flags("text", min_words=5).getField("keep")
+    ).count()
+    print(f"after Gopher quality filters: {kept}")
+
     print("\nper-doc quality/fingerprint columns (first 3):")
     enriched = docs.select(
         "doc_id",
