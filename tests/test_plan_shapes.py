@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: pin the plan properties that make
+the operators scale — filter pushdown reaching the parquet scan, column
+pruning, broadcast joins for driver-sized sides, map-only top-k, and
+the absence of cartesian products — so a future refactor that silently
+degrades a plan fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return E.queries()
+
+
+class TestScanHygiene:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .where(F.col("l_shipdate") <= "1998-09-02")
+            .select("l_returnflag", "l_quantity")
+        )
+        plan = _plan(df)
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+    def test_column_pruning(self, spark):
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = _plan(df)
+        # ReadSchema carries only the projected columns
+        assert "l_orderkey" in plan.split("ReadSchema")[1][:200]
+        assert "l_comment" not in plan.split("ReadSchema")[1][:200]
+
+    def test_knn_is_map_only_top_k(self, spark, queries):
+        plan = _plan(queries["knn_topk"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle
+
+    def test_no_cartesian_products_anywhere(self, spark, queries):
+        """Every registered query must avoid CartesianProduct — any
+        intended all-pairs comparison must ride a broadcast."""
+        offenders = []
+        for name, fn in queries.items():
+            try:
+                if "CartesianProduct" in _plan(fn(spark, SF)):
+                    offenders.append(name)
+            except Exception:
+                pass  # plan-shape audit only; correctness gate covers errors
+        assert offenders == []
+
+
+class TestJoinStrategies:
+    def test_search_pipeline_broadcasts_small_sides(self, spark, queries):
+        plan = _plan(queries["search_pipeline"](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_ann_lsh_join_is_equi_join(self, spark, queries):
+        plan = _plan(queries["ann_lsh_topk"](spark, SF))
+        assert "CartesianProduct" not in plan
+        # signature equi-join compiles to a hash-based join
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_exact_dedup_single_shuffle(self, spark, queries):
+        plan = _plan(queries["exact_dedup"](spark, SF))
+        # one aggregation key → at most one exchange pair (partial+final
+        # HashAggregate around a single hashpartitioning exchange), plus
+        # AQE wrappers; never a join-driven second shuffle
+        assert plan.count("Exchange hashpartitioning") <= 2
