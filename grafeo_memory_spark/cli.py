@@ -26,11 +26,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--store",
+        "-d",
         default=None,
         help="store directory (default $GRAFEO_SPARK_STORE; in-memory "
         "empty store if unset)",
     )
-    parser.add_argument("--user", default="default", help="user id scope")
+    parser.add_argument("--user", "-u", default="default", help="user id scope")
+    parser.add_argument(
+        "--model",
+        "-m",
+        default=None,
+        help="model string for LLM-protocol factories (default "
+        "$GRAFEO_SPARK_MODEL; the built-in deterministic protocols "
+        "ignore it — inject real extractor/reconciler objects to use it)",
+    )
     parser.add_argument(
         "--json", action="store_true", help="machine-readable JSON output"
     )
@@ -101,7 +110,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_summarize = sub.add_parser("summarize", help="Consolidate old memories")
     p_summarize.add_argument("--preserve-recent", type=int, default=5)
-    p_summarize.add_argument("--batch-size", type=int, default=10)
+    p_summarize.add_argument("--batch-size", type=int, default=20)
 
     sub.add_parser("stats", help="Show memory system statistics")
 

@@ -1033,7 +1033,7 @@ class MemoryEngine:
     @_locked
     def summarize(
         self, *, user_id: str, summarize_batch=None, preserve_recent: int = 5,
-        batch_size: int = 10, topology_protect_threshold: float | None = None,
+        batch_size: int = 20, topology_protect_threshold: float | None = None,
     ) -> list[int]:
         """Consolidation (reference `manager.py:1835-1915`)."""
         summarize_batch = summarize_batch or (
