@@ -38,6 +38,8 @@ __all__ = [
     "near_dup_pairs_minhash",
     "simhash16",
     "jaccard_similarity_join",
+    "dedup_clusters",
+    "near_dedup",
 ]
 
 
@@ -282,4 +284,63 @@ def jaccard_similarity_join(
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             ).alias("jaccard"),
         )
+    )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Fuzzy-dedup clustering: candidate/verified near-dup *pairs* →
+    transitive duplicate *clusters* via distributed connected
+    components (min-label propagation, ``communities.connected_components``).
+
+    Output: one row per document that appears in any pair —
+    (id, cluster), where ``cluster`` is the smallest doc id reachable
+    through the pair graph; the cluster id therefore IS the canonical
+    survivor of the cluster.
+
+    Scale shape: each propagation round is one join + one min-agg;
+    rounds needed = duplicate-graph diameter (tiny in practice — dup
+    clusters are dense), never |docs|.
+    """
+    from grafeo_memory_spark.communities import connected_components
+
+    sym = pairs.select(
+        F.col(id_a).alias("node_id"), F.col(id_b).alias("nbr")
+    ).union(pairs.select(F.col(id_b).alias("node_id"), F.col(id_a).alias("nbr")))
+    return connected_components(sym).select(
+        F.col("node_id").alias("id"), F.col("component").alias("cluster")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """End-to-end batch fuzzy dedup (the standard LLM-corpus recipe:
+    MinHash → LSH bands → verified pairs → connected components → keep
+    one canonical doc per cluster). Returns the surviving rows of
+    ``df``: every doc not in any near-dup cluster, plus the smallest-id
+    doc of each cluster.
+
+    Composition of :func:`near_dup_pairs_minhash` (bucketed, never
+    all-pairs) and :func:`dedup_clusters`; the final keep is a
+    broadcast-size anti-join against the non-survivor ids only, so the
+    corpus itself is never shuffled.
+    """
+    pairs = near_dup_pairs_minhash(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, n=n,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select("id")
+    return df.join(
+        losers.withColumnRenamed("id", id_col), id_col, "left_anti"
     )

@@ -265,3 +265,42 @@ def test_spread_fans_out_and_is_noop_when_wide(spark):
 
     wide = spark.range(100).repartition(16)
     assert spread(wide, min_partitions=8) is wide
+
+
+def test_dedup_clusters_transitive(spark):
+    # pairs (1,2),(2,3) and (7,9): clusters must close transitively and
+    # label each member with the min reachable id
+    from grafeo_memory_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_near_dedup_end_to_end(docs):
+    # 1/2/3/4 form one fuzzy cluster (exact dups + near dup), 5 stands
+    # alone: survivors = min-id of the cluster + the singleton
+    from grafeo_memory_spark.pipeline.dedup import near_dedup
+
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup(
+            docs, "text", "doc_id", num_perm=16, bands=8,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert kept == [1, 5]
+
+
+def test_near_dedup_keeps_all_when_no_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    from grafeo_memory_spark.pipeline.dedup import near_dedup
+
+    kept = sorted(r["doc_id"] for r in near_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2, 3]
