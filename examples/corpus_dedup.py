@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from grafeo_memory_spark.pipeline.dedup import (
     exact_dedup,
+    near_dedup,
     near_dup_pairs_minhash,
     simhash16,
 )
@@ -42,6 +43,11 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("sample near-dup pairs (jaccard >= 0.5):")
     for r in pairs.collect():
         print(f"  {r['id_a']} ~ {r['id_b']}")
+
+    # full fuzzy dedup: pairs → connected components → one canonical
+    # survivor per duplicate cluster
+    fuzzy = near_dedup(docs, "text", "doc_id", jaccard_threshold=0.5)
+    print("after fuzzy dedup (cluster survivors):", fuzzy.count())
 
     from grafeo_memory_spark.pipeline.cleaning import gopher_quality_flags
 
