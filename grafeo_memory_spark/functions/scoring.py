@@ -58,11 +58,20 @@ class ScoreConfig:
     search_min_score: float = 0.0
     mmr_lambda: float = 0.5
     reconciliation_threshold: float = 0.3
+    #: multi-hop graph-search depth (reference `types.py:92-93`):
+    #: 1 = entity→memory only (the reference default); 2 adds the
+    #: entity→RELATION→entity→memory expansion at 0.7× discount
+    graph_search_depth: int = 1
 
     def __post_init__(self) -> None:
         if self.decay_rate <= 0:
             raise ValueError(
                 f"decay_rate must be positive, got {self.decay_rate}"
+            )
+        if self.graph_search_depth not in (1, 2):
+            raise ValueError(
+                "graph_search_depth must be 1 or 2, got "
+                f"{self.graph_search_depth}"
             )
         for name in _UNIT_RANGE_KNOBS:
             val = getattr(self, name)

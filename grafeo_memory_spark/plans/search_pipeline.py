@@ -121,14 +121,19 @@ def search_pipeline(store: Store, req: SearchRequest) -> tuple[DataFrame, list[s
             .distinct()
             .withColumn("disc", F.lit(1.0))
         )
-        two = (
-            two_hop_memories(anchors, store.edges, live)
-            .select("memory_id")
-            .join(one.select("memory_id"), "memory_id", "left_anti")
-            .withColumn("disc", F.lit(0.7))
-        )
+        # J3 2-hop expansion is gated on graph_search_depth (reference
+        # default 1 = direct entity→memory only; `search/graph.py:168`)
+        if cfg.graph_search_depth >= 2:
+            hops = one.unionByName(
+                two_hop_memories(anchors, store.edges, live)
+                .select("memory_id")
+                .join(one.select("memory_id"), "memory_id", "left_anti")
+                .withColumn("disc", F.lit(0.7))
+            )
+        else:
+            hops = one
         gr = (
-            one.unionByName(two)
+            hops
             .join(
                 live.select(F.col("id").alias("memory_id"), "embedding"),
                 "memory_id",

@@ -145,6 +145,7 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=ScoreConfig(
             topology_boost_factor=0.3,
             cross_session_boost_factor=0.2,
+            graph_search_depth=2,  # oracle SQL includes the 0.7x 2-hop tier
         ),
     )
     df, _stages = search_pipeline(store, req)

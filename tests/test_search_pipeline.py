@@ -155,3 +155,50 @@ def test_projection_carries_actor_and_learned_at(spark):
     assert row["actor_id"] == "alice"
     assert row["role"] == "user"
     assert row["learned_at"] is not None
+
+
+def test_graph_search_depth_gates_two_hop(spark, store):
+    """Reference multi-hop contract (`types.py:92-93`, test_multi_hop):
+    depth 1 (default) = direct entity->memory only; depth 2 adds the
+    entity->RELATION->entity->memory tier at 0.7x."""
+    # wire: Apple -RELATION-> Banana <-HAS_ENTITY- memory 2
+    ent2 = spark.createDataFrame(
+        [(11, "Banana", "org", "u", None)], store.entities.schema
+    )
+    extra = spark.createDataFrame(
+        [
+            (101, 10, 11, "RELATION", None, None),
+            (102, 2, 11, "HAS_ENTITY", None, None),
+        ],
+        store.edges.schema,
+    )
+    st = Store(
+        memories=store.memories,
+        entities=store.entities.union(ent2),
+        edges=store.edges.union(extra),
+        episodes=store.episodes,
+        history=store.history,
+    )
+    base = dict(
+        query_vec=_vec(1.0), k=10, user_id="u",
+        anchor_entity_names=["Apple"],
+    )
+
+    out1, _ = search_pipeline(st, SearchRequest(**base, config=_cfg()))
+    src1 = {r["memory_id"]: r["source"] for r in out1.collect()}
+    assert src1[1] == "both"      # direct 1-hop still found
+    assert src1[2] == "vector"    # 2-hop tier absent at depth 1
+
+    cfg2 = ScoreConfig(
+        weight_similarity=1.0, weight_recency=0.0, weight_frequency=0.0,
+        weight_importance=0.0, graph_search_depth=2,
+    )
+    out2, _ = search_pipeline(st, SearchRequest(**base, config=cfg2))
+    src2 = {r["memory_id"]: r["source"] for r in out2.collect()}
+    assert src2[2] == "both"      # found via Apple->Banana->m2 at depth 2
+
+
+def test_graph_search_depth_validated():
+    for bad in (0, 3):
+        with pytest.raises(ValueError, match="graph_search_depth"):
+            ScoreConfig(graph_search_depth=bad)
