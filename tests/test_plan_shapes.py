@@ -77,3 +77,16 @@ class TestJoinStrategies:
         # HashAggregate around a single hashpartitioning exchange), plus
         # AQE wrappers; never a join-driven second shuffle
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestFuzzyDedup:
+    def test_near_dedup_no_cartesian_and_anti_join_keep(self, spark):
+        """The end-to-end fuzzy dedup must stay bucketed: candidate
+        pairs ride the (band, band_hash) equi-join, and the final keep
+        is an anti-join — never an all-pairs comparison."""
+        from grafeo_memory_spark.pipeline.dedup import near_dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(near_dedup(docs, "text", "doc_id"))
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
