@@ -56,6 +56,19 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).count()
     print(f"after Gopher quality filters: {kept}")
 
+    # benchmark decontamination: drop docs sharing any 13-gram with the
+    # eval set (here: snippets cut from the corpus itself, so some hit)
+    from grafeo_memory_spark.pipeline.decontamination import decontaminate
+
+    bench = docs.orderBy("doc_id").limit(10).select(
+        F.substring("text", 30, 200).alias("prompt")
+    )
+    clean = decontaminate(
+        docs, bench, text_col="text", id_col="doc_id",
+        bench_text_col="prompt",
+    )
+    print("after benchmark decontamination:", clean.count())
+
     print("\nper-doc quality/fingerprint columns (first 3):")
     enriched = docs.select(
         "doc_id",
