@@ -40,6 +40,7 @@ __all__ = [
     "jaccard_similarity_join",
     "dedup_clusters",
     "near_dedup",
+    "dedup_spans_global",
 ]
 
 
@@ -343,4 +344,95 @@ def near_dedup(
     losers = clusters.where(F.col("id") != F.col("cluster")).select("id")
     return df.join(
         losers.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2): any run of
+    ``span`` consecutive non-blank lines occurring more than once in
+    the WHOLE corpus survives only at its first occurrence (smallest
+    (id, position)); every later occurrence has those lines removed and
+    the document is reassembled from the lines that remain.
+
+    Line normalization: blank/whitespace-only lines are dropped before
+    span formation and do not reappear in the output (the op rewrites
+    ``text_col`` as the surviving lines joined by ``sep``). Documents
+    with fewer than ``span`` non-blank lines form no spans and pass
+    through with only that blank-line normalization. A line shared by
+    both a duplicated span and a unique one is removed — matching the
+    published C4 behavior of discarding the whole later occurrence.
+
+    Scale shape: lines and span hashes are array-built per row
+    (map-side); the shuffles are the span-hash groupBy electing the
+    global first occurrence, the keyed (id, pos) anti-join of removed
+    lines, and the per-doc reassembly groupBy — all keyed, nothing
+    all-pairs. Boilerplate-heavy corpora pile rows onto hot span
+    hashes, but min(struct) partial-aggregates map-side, so skew costs
+    one hot reducer, not a pair blowup.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), sep), lambda x: F.trim(x) != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), lines.alias("lines"))
+    units = base.select(
+        "id", F.posexplode("lines").alias("pos", "unit")
+    )
+    span_hashes = F.when(
+        F.size("lines") >= span,
+        F.transform(
+            F.sequence(F.lit(0), F.size("lines") - span),
+            lambda i: F.xxhash64(
+                F.concat_ws(sep, F.slice(F.col("lines"), i + 1, span))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    spans = base.select(
+        "id", F.posexplode(span_hashes).alias("pos", "h")
+    )
+    keeper = spans.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    )
+    removed = (
+        spans.join(keeper, "h")
+        .where(
+            ~(
+                (F.col("id") == F.col("k.id"))
+                & (F.col("pos") == F.col("k.pos"))
+            )
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    rebuilt = (
+        units.join(removed, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+            ).alias("_txt")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_txt"), F.lit("")).alias(text_col),
+        )
     )
