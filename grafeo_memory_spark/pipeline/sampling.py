@@ -21,6 +21,8 @@ __all__ = [
     "stratified_sample",
     "take_per_key",
     "length_bucket",
+    "mixture_fractions",
+    "mixture_sample",
     "pack_greedy",
 ]
 
@@ -149,3 +151,69 @@ def pack_greedy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int"),
     ).withColumn("_ord", F.md5(F.concat_ws(":", F.col(id_col))))
     return keyed.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
+def mixture_fractions(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    *,
+    token_col: str | None = None,
+    budget: int | None = None,
+) -> dict:
+    """Per-domain sampling fractions realizing a target mixture: given
+    desired token shares ``weights`` (e.g. {"web": 0.6, "code": 0.3,
+    "wiki": 0.1}), find the largest feasible total T (capped by
+    ``budget``) such that every domain can supply its share without
+    upsampling, and return {domain: fraction} with
+    fraction_d = w_d·T / available_d.
+
+    ``token_col`` weighs rows by token count (the unit mixtures are
+    specified in); None counts rows. Domains absent from ``weights``
+    get fraction 0. One small aggregate (|domains| rows) feeds a
+    driver-side closed-form solve — nothing else touches the corpus.
+    """
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: v / total_w for k, v in weights.items() if v > 0}
+    unit = F.col(token_col) if token_col else F.lit(1)
+    avail = {
+        r["d"]: r["avail"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(unit).alias("avail"))
+        .collect()
+        if r["d"] in norm and r["avail"]
+    }
+    if not avail:
+        return {k: 0.0 for k in weights}
+    t = min(avail[d] / norm[d] for d in avail)
+    if budget is not None:
+        t = min(t, float(budget))
+    return {
+        k: (norm[k] * t / avail[k] if k in avail else 0.0)
+        for k in weights
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    *,
+    id_col: str,
+    token_col: str | None = None,
+    budget: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture sample: solve the fractions with
+    :func:`mixture_fractions`, then apply the rerun-stable
+    :func:`stratified_sample` — the corpus side stays a map-only
+    filter. The realized mixture matches ``weights`` in expectation;
+    exactness improves with domain size (Bernoulli variance)."""
+    fr = mixture_fractions(
+        df, domain_col, weights, token_col=token_col, budget=budget
+    )
+    return stratified_sample(
+        df, domain_col, fr, id_col=id_col, salt=salt
+    )

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from grafeo_memory_spark.pipeline.sampling import (
     length_bucket,
+    mixture_fractions,
+    mixture_sample,
     stratified_sample,
     take_per_key,
 )
@@ -149,3 +151,70 @@ class TestPackGreedy:
                    pack_greedy(docs.repartition(11), "n_chars", 2000,
                                id_col="doc_id", num_shards=8).collect())
         assert a == b
+
+
+class TestMixture:
+    def _df(self, spark):
+        rows = (
+            [(f"w{i}", "web", 10) for i in range(100)]
+            + [(f"c{i}", "code", 10) for i in range(30)]
+            + [(f"k{i}", "wiki", 10) for i in range(10)]
+        )
+        return spark.createDataFrame(rows, ["id", "domain", "n_tok"])
+
+    def test_fractions_closed_form(self, spark):
+        df = self._df(spark)
+        fr = mixture_fractions(
+            df, "domain", {"web": 0.6, "code": 0.3, "wiki": 0.1},
+            token_col="n_tok",
+        )
+        # avail = 1000/300/100 tokens; T = min(1000/.6, 300/.3, 100/.1) = 1000
+        assert fr == {"web": 0.6, "code": 1.0, "wiki": 1.0}
+
+    def test_budget_caps_total(self, spark):
+        df = self._df(spark)
+        fr = mixture_fractions(
+            df, "domain", {"web": 0.6, "code": 0.3, "wiki": 0.1},
+            token_col="n_tok", budget=500,
+        )
+        assert fr == pytest.approx({"web": 0.3, "code": 0.5, "wiki": 0.5})
+
+    def test_row_counted_when_no_token_col(self, spark):
+        df = self._df(spark)
+        fr = mixture_fractions(df, "domain", {"web": 0.5, "code": 0.5})
+        # avail rows = 100/30; T = min(100/.5=200, 30/.5=60) = 60
+        assert fr == {"web": 0.3, "code": 1.0}
+
+    def test_zero_weight_and_unknown_domain(self, spark):
+        df = self._df(spark)
+        fr = mixture_fractions(
+            df, "domain", {"web": 1.0, "wiki": 0.0, "books": 0.0}
+        )
+        assert fr["wiki"] == 0.0 and fr["books"] == 0.0
+        assert fr["web"] == 1.0
+
+    def test_mixture_sample_deterministic_and_near_target(self, spark):
+        rows = (
+            [(f"w{i}", "web", 1) for i in range(4000)]
+            + [(f"c{i}", "code", 1) for i in range(1000)]
+        )
+        df = spark.createDataFrame(rows, ["id", "domain", "n_tok"])
+        out = mixture_sample(
+            df, "domain", {"web": 0.5, "code": 0.5}, id_col="id",
+        )
+        counts = {
+            r["domain"]: r["n"]
+            for r in out.groupBy("domain").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        # code is the binding domain: fraction 1.0 → exactly 1000
+        assert counts["code"] == 1000
+        # web fraction 0.25 of 4000 → ~1000, Bernoulli tolerance
+        assert 850 <= counts["web"] <= 1150
+        again = mixture_sample(
+            df, "domain", {"web": 0.5, "code": 0.5}, id_col="id",
+        )
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in again.collect()
+        )
