@@ -69,6 +69,33 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print("after benchmark decontamination:", clean.count())
 
+    # C4-style global span dedup: repeated 3-line spans survive only at
+    # their first occurrence corpus-wide
+    from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
+
+    rewritten = dedup_spans_global(docs, "text", "doc_id")
+    n_changed = (
+        rewritten.alias("r")
+        .join(docs.select("doc_id", F.col("text").alias("orig")), "doc_id")
+        .where(F.col("r.text") != F.col("orig"))
+        .count()
+    )
+    print(f"span dedup rewrote {n_changed} docs")
+
+    # domain mixture: sample sources toward a target token share
+    from grafeo_memory_spark.pipeline.sampling import mixture_sample
+    from grafeo_memory_spark.pipeline.text_stats import token_count_ws
+
+    with_tok = docs.withColumn("n_tok", token_count_ws("text"))
+    weights = {
+        r["source"]: 1.0
+        for r in docs.select("source").distinct().collect()
+    }
+    mixed = mixture_sample(
+        with_tok, "source", weights, id_col="doc_id", token_col="n_tok"
+    )
+    print("uniform-mixture sample:", mixed.count(), "docs")
+
     print("\nper-doc quality/fingerprint columns (first 3):")
     enriched = docs.select(
         "doc_id",
