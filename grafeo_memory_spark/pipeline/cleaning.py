@@ -93,17 +93,31 @@ def _words(col: Column | str) -> Column:
 def top_word_ratio(col: Column | str) -> Column:
     """Occurrences of the most frequent word / total words (C4-family
     repetition signal; boilerplate and keyword-stuffed docs score
-    high). Computed with aggregate over the distinct words — no
-    explode, no shuffle."""
+    high).
+
+    O(n log n) per row: sort the word array, then ONE fold tracking the
+    longest run of equal adjacent words (max run length in the sorted
+    array == max word frequency). Still shuffle-free pure-Column; the
+    earlier distinct×filter formulation was O(words × distinct-words)
+    per row — a per-core CPU bomb on long documents (~10⁹ comparisons
+    at Gopher's own max_words=100k)."""
     ws = _words(col)
     n = F.size(ws)
-    top = F.aggregate(
-        F.array_distinct(ws),
-        F.lit(0),
-        lambda acc, w: F.greatest(
-            acc, F.size(F.filter(ws, lambda x: x == w))
-        ),
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(ws), init, step, lambda acc: acc["best"])
     return F.when(n <= 0, F.lit(0.0)).otherwise(top.cast("double") / n)
 
 

@@ -58,7 +58,6 @@ def content_hash(col: Column | str) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup keeping the smallest id per content group. One
     shuffle on the hash; no global window."""
-    h = content_hash(text_col).alias("_h")
     hashed = df.withColumn("_h", content_hash(text_col))
     keep = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep"))
     return (
@@ -369,6 +368,12 @@ def dedup_spans_global(
     both a duplicated span and a unique one is removed — matching the
     published C4 behavior of discarding the whole later occurrence.
 
+    Schema: the input schema is preserved — every passthrough column
+    survives and only ``text_col`` is rewritten (consistent with
+    ``exact_dedup``/``near_dedup``/``decontaminate``). ``sep`` is
+    treated as a *literal* separator (regex-escaped before the split,
+    so ``sep='.'`` or ``'|'`` split where you'd expect).
+
     Scale shape: lines and span hashes are array-built per row
     (map-side); the shuffles are the span-hash groupBy electing the
     global first occurrence, the keyed (id, pos) anti-join of removed
@@ -377,8 +382,10 @@ def dedup_spans_global(
     hashes, but min(struct) partial-aggregates map-side, so skew costs
     one hot reducer, not a pair blowup.
     """
+    import re as _re
+
     lines = F.filter(
-        F.split(F.col(text_col), sep), lambda x: F.trim(x) != ""
+        F.split(F.col(text_col), _re.escape(sep)), lambda x: F.trim(x) != ""
     )
     base = df.select(F.col(id_col).alias("id"), lines.alias("lines"))
     units = base.select(
@@ -428,11 +435,7 @@ def dedup_spans_global(
             ).alias("_txt")
         )
     )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("_txt"), F.lit("")).alias(text_col),
-        )
-    )
+    out = df.join(
+        rebuilt.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(text_col, F.coalesce(F.col("_txt"), F.lit(""))).drop("_txt")
+    return out.select(*df.columns)

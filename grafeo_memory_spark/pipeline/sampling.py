@@ -172,6 +172,13 @@ def mixture_fractions(
     specified in); None counts rows. Domains absent from ``weights``
     get fraction 0. One small aggregate (|domains| rows) feeds a
     driver-side closed-form solve — nothing else touches the corpus.
+
+    A positive-weight domain with zero availability (no rows, or null/
+    zero token sum) makes the target mixture infeasible at any T > 0 —
+    that raises ``ValueError`` rather than silently re-solving over the
+    remaining domains (which would hand back a sample whose realized
+    mixture deviates from ``weights``, e.g. 100% web for a 50/50
+    web/books ask with no books rows).
     """
     total_w = float(sum(weights.values()))
     if total_w <= 0:
@@ -185,8 +192,12 @@ def mixture_fractions(
         .collect()
         if r["d"] in norm and r["avail"]
     }
-    if not avail:
-        return {k: 0.0 for k in weights}
+    missing = sorted(set(norm) - set(avail))
+    if missing:
+        raise ValueError(
+            "mixture infeasible: positive-weight domain(s) with zero "
+            f"availability: {missing}"
+        )
     t = min(avail[d] / norm[d] for d in avail)
     if budget is not None:
         t = min(t, float(budget))

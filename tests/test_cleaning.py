@@ -71,6 +71,19 @@ class TestQualitySignals:
         assert _one(spark, "all distinct words here",
                     top_word_ratio("t")) == pytest.approx(0.25)
 
+    def test_top_word_ratio_long_doc_linearithmic(self, spark):
+        # 100k-word doc near the Gopher max_words bound: the sorted
+        # run-length fold must finish in seconds (the earlier
+        # distinct×filter form was quadratic — ~5e9 comparisons here).
+        import time
+
+        words = [f"w{i % 50_000}" for i in range(100_000)]
+        text = " ".join(words)
+        t0 = time.monotonic()
+        got = _one(spark, text, top_word_ratio("t"))
+        assert time.monotonic() - t0 < 30.0
+        assert got == pytest.approx(2 / 100_000)
+
     def test_symbol_ratio_and_word_len(self, spark):
         assert _one(spark, "### ### word", symbol_to_word_ratio("t")) == \
             pytest.approx(6.0)  # 6 hashes / 1 word

@@ -193,6 +193,13 @@ class TestMixture:
         assert fr["wiki"] == 0.0 and fr["books"] == 0.0
         assert fr["web"] == 1.0
 
+    def test_positive_weight_empty_domain_raises(self, spark):
+        # weights {web, books} with zero books rows: infeasible — must
+        # raise, not silently hand back a 100% web sample
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="books"):
+            mixture_fractions(df, "domain", {"web": 0.5, "books": 0.5})
+
     def test_mixture_sample_deterministic_and_near_target(self, spark):
         rows = (
             [(f"w{i}", "web", 1) for i in range(4000)]

@@ -83,6 +83,37 @@ class TestSpanDedup:
             l for l in dict(docs)[d].split("\n") if l.strip()
         ) for d in range(40))
 
+    def test_metadata_columns_survive(self, spark):
+        shared = "alpha\nbeta\ngamma"
+        df = spark.createDataFrame(
+            [
+                (1, f"intro\n{shared}\noutro", "web", 0.9),
+                (2, f"pre\n{shared}\npost", "books", 0.4),
+            ],
+            ["doc_id", "text", "source", "quality"],
+        )
+        got = dedup_spans_global(df, "text", "doc_id")
+        assert got.columns == ["doc_id", "text", "source", "quality"]
+        rows = {r["doc_id"]: r for r in got.collect()}
+        assert rows[1]["source"] == "web" and rows[1]["quality"] == 0.9
+        assert rows[2]["source"] == "books"
+        assert rows[2]["text"] == "pre\npost"
+
+    def test_literal_separator_not_regex(self, spark):
+        # '|' is a regex alternation that matches everywhere; as a
+        # literal separator these two docs share the 3-span a|b|c
+        df = spark.createDataFrame(
+            [(1, "a|b|c|tail"), (2, "head|a|b|c")], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup_spans_global(
+                df, "text", "doc_id", sep="|"
+            ).collect()
+        }
+        assert got[1] == "a|b|c|tail"
+        assert got[2] == "head"
+
     def test_idempotent(self, spark):
         shared = "alpha\nbeta\ngamma"
         docs = [
