@@ -10,16 +10,22 @@ Two tiers, matching the batch operators in ``pipeline/dedup.py``:
   runs indefinitely at ingest scale; duplicates arriving farther apart
   than the horizon are caught downstream by the batch pass.
 - **Near-dup (MinHash/LSH)**: a ``foreachBatch`` sink that keeps the
-  corpus band table in versioned parquet snapshots (the
-  ``SessionChainSink`` state pattern — nothing driver-resident). Per
-  batch: signature + band the new docs (one explode + one groupBy),
-  drop docs colliding with the stored corpus bands or with a
-  smaller-id batch sibling, append survivors' docs and bands. The
+  corpus band table as an *append-only* ``batch_id=``-partitioned
+  parquet table (nothing driver-resident). Per batch: signature + band
+  the new docs (one explode + one groupBy), drop docs colliding with
+  the stored corpus bands or with a smaller-id batch sibling, then
+  write ONLY this batch's survivor bands to its own partition dir —
+  per-batch state I/O is O(batch), not O(corpus), so the sink's cost
+  per micro-batch stays flat forever. Reads union the partitions
+  strictly below the current batch_id (replay therefore sees the
+  pre-batch corpus and reproduces the same survivors). Every
+  ``compact_every`` batches the closed partitions fold into one file
+  set so the dir count — not the data volume — stays bounded. The
   band-table join is an equi-join on (band, band_hash) — the same
   bucketed, never-all-pairs shape as the batch LSH path.
 
-A lakehouse deployment swaps the versioned snapshots for MERGE INTO on
-a Delta/Iceberg band table; the per-batch logical plan is identical.
+A lakehouse deployment swaps the partition dirs for MERGE INTO on a
+Delta/Iceberg band table; the per-batch logical plan is identical.
 """
 
 from __future__ import annotations
@@ -79,11 +85,16 @@ def streaming_exact_dedup(
 class IncrementalDedupSink:
     """foreachBatch near-dup sink: survivors append to a
     batch_id-partitioned parquet table (overwrite-per-batch-dir →
-    idempotent replays) and the corpus band table advances as versioned
-    snapshots keyed by batch_id. State reads take the newest version
+    idempotent replays) and the corpus band table is append-only in the
+    same pattern — each batch writes ONLY its own survivor bands to
+    ``state_path/batch_id=N``, so per-batch state I/O is O(batch) while
+    the corpus grows without bound. State reads union the partitions
     strictly *below* the current batch_id, so a replayed batch sees the
     pre-batch corpus — not its own output — and reproduces the same
-    survivor set instead of dropping everything as self-duplicates."""
+    survivor set instead of dropping everything as self-duplicates.
+    Partitions below the current batch fold into one file set whenever
+    more than ``compact_every`` have accumulated (the merged dir keeps
+    the largest folded batch_id, preserving the strictly-below read)."""
 
     survivors_path: str
     state_path: str
@@ -91,14 +102,14 @@ class IncrementalDedupSink:
     bands: int = 4
     rows: int = 4
     shingle_n: int = 3
-    keep_versions: int = 2
+    compact_every: int = 8
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.state_path):
             return []
         return sorted(
-            int(d[1:]) for d in os.listdir(self.state_path)
-            if d.startswith("v") and d[1:].isdigit()
+            int(d.split("=", 1)[1]) for d in os.listdir(self.state_path)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
         )
 
     def _read_bands(
@@ -109,7 +120,29 @@ class IncrementalDedupSink:
             vs = [v for v in vs if v < before]
         if not vs:
             return None
-        return spark.read.parquet(os.path.join(self.state_path, f"v{vs[-1]}"))
+        return spark.read.parquet(
+            *[os.path.join(self.state_path, f"batch_id={v}") for v in vs]
+        )
+
+    def _compact(self, spark: SparkSession, below: int) -> None:
+        """Fold the closed partitions (< ``below``) into one dir keyed
+        by the largest folded batch_id. O(state) I/O, but amortized:
+        it runs once per ``compact_every`` batches, and only when the
+        dir count — cheap to list — says so."""
+        vs = [v for v in self._versions() if v < below]
+        if len(vs) <= self.compact_every:
+            return
+        merged = spark.read.parquet(
+            *[os.path.join(self.state_path, f"batch_id={v}") for v in vs]
+        )
+        tmp = os.path.join(self.state_path, "_compact_tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        for v in vs:
+            shutil.rmtree(
+                os.path.join(self.state_path, f"batch_id={v}"),
+                ignore_errors=True,
+            )
+        os.rename(tmp, os.path.join(self.state_path, f"batch_id={vs[-1]}"))
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -162,18 +195,15 @@ class IncrementalDedupSink:
             os.path.join(self.survivors_path, f"batch_id={batch_id}")
         )
 
+        # append-only state: this batch's survivor bands ONLY —
+        # O(batch) rows written no matter how large the corpus is
         surv_bands = new_bands.join(
             survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
         )
-        if prior is not None:
-            surv_bands = prior.unionByName(surv_bands)
         surv_bands.write.mode("overwrite").parquet(
-            os.path.join(self.state_path, f"v{batch_id}")
+            os.path.join(self.state_path, f"batch_id={batch_id}")
         )
-        for v in self._versions()[: -self.keep_versions]:
-            shutil.rmtree(
-                os.path.join(self.state_path, f"v{v}"), ignore_errors=True
-            )
+        self._compact(spark, below=batch_id)
 
     # ------------------------------------------------------ read side
     def survivors(self, spark: SparkSession) -> DataFrame:

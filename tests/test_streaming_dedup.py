@@ -113,21 +113,53 @@ class TestIncrementalNearDup:
         )
         assert first == again == [1, 2]
 
-    def test_state_versions_pruned(self, spark, tmp_path):
+    def test_state_write_is_per_batch(self, spark, tmp_path):
+        """Each batch writes O(batch) state rows — only its own
+        survivor bands land in its partition dir, never the cumulative
+        corpus (the scale contract: per-batch sink cost stays flat)."""
         sink = IncrementalDedupSink(
             survivors_path=str(tmp_path / "surv"),
             state_path=str(tmp_path / "state"),
-            keep_versions=2,
         )
         for i, text in enumerate((ALPHA, BETA, GAMMA)):
             sink(_docs(spark, [(100 + i, T0 + i, text)]), i)
-        vs = sorted(
-            d for d in os.listdir(str(tmp_path / "state"))
-            if d.startswith("v")
-        )
-        assert vs == ["v1", "v2"]
-        # corpus bands accumulate across all three batches regardless
+        for i in range(3):
+            part = spark.read.parquet(
+                str(tmp_path / "state" / f"batch_id={i}")
+            )
+            # 1 surviving doc × 4 bands per batch — not i+1 docs' worth
+            assert part.count() == sink.bands
+            assert set(r["id"] for r in part.collect()) == {100 + i}
+        # the read side still unions the whole corpus
         bands = sink.corpus_bands(spark)
         assert sorted(
             set(r["id"] for r in bands.collect())
         ) == [100, 101, 102]
+
+    def test_compaction_bounds_dir_count(self, spark, tmp_path):
+        sink = IncrementalDedupSink(
+            survivors_path=str(tmp_path / "surv"),
+            state_path=str(tmp_path / "state"),
+            compact_every=2,
+        )
+        texts = [
+            f"wholly distinct document number {i} with unique tokens "
+            f"zeta{i} eta{i} theta{i} iota{i} kappa{i}"
+            for i in range(6)
+        ]
+        for i, text in enumerate(texts):
+            sink(_docs(spark, [(200 + i, T0 + i, text)]), i)
+        dirs = [
+            d for d in os.listdir(str(tmp_path / "state"))
+            if d.startswith("batch_id=")
+        ]
+        # closed partitions fold whenever more than compact_every pile up
+        assert len(dirs) <= sink.compact_every + 2
+        bands = sink.corpus_bands(spark)
+        assert sorted(set(r["id"] for r in bands.collect())) == [
+            200 + i for i in range(6)
+        ]
+        # replay of the newest batch after compaction is still idempotent
+        sink(_docs(spark, [(205, T0 + 5, texts[5])]), 5)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [200 + i for i in range(6)]
