@@ -146,22 +146,88 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("communities_louvain")  # iterative modularity-greedy — rows-only check
+@query(
+    "communities_louvain",
+    oracle=f"""
+    WITH lab AS (
+      SELECT node_id, community
+      FROM read_parquet('{FIX}/louvain_labels.parquet/*.parquet')
+    ),
+    und AS (
+      SELECT DISTINCT * FROM (
+        SELECT src, dst FROM {_EDG} WHERE edge_type = 'RELATION'
+        UNION ALL
+        SELECT dst, src FROM {_EDG} WHERE edge_type = 'RELATION')
+    ),
+    mm AS (SELECT count(*) / 2.0 AS m FROM und),
+    intra AS (
+      SELECT COALESCE(SUM(CASE WHEN la.community = lb.community
+                           THEN 1 ELSE 0 END), 0) / 2.0 AS i
+      FROM und
+      JOIN lab la ON la.node_id = und.src
+      JOIN lab lb ON lb.node_id = und.dst
+    ),
+    degc AS (
+      SELECT COALESCE(SUM(POWER(dc / (2.0 * mm.m), 2)), 0.0) AS s
+      FROM (
+        SELECT l.community, CAST(SUM(d.d) AS DOUBLE) AS dc
+        FROM (SELECT src, count(*) AS d FROM und GROUP BY src) d
+        JOIN lab l ON l.node_id = d.src
+        GROUP BY l.community
+      ) CROSS JOIN mm
+    ),
+    q AS (
+      SELECT ROUND(intra.i / mm.m - degc.s, 6) AS modularity
+      FROM intra, mm, degc
+    )
+    SELECT l.community, CAST(count(*) AS BIGINT) AS n_members, q.modularity
+    FROM lab l CROSS JOIN q
+    GROUP BY l.community, q.modularity
+    HAVING count(*) >= 2
+    ORDER BY n_members DESC, community ASC
+    """,
+)
 def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — modularity-greedy Louvain over the RELATION graph (reference
     `protocol.py:43` → `communities.py:32-200`): mutual-best-partner
     agglomeration (graph/algorithms.py louvain — modularity provably
     non-decreasing per round, see tests/test_communities.py), community
     sizes ≥2. Deterministic: ids are min member node ids by
-    construction of the merge rule."""
+    construction of the merge rule.
+
+    Structural oracle (the greedy sequential argmax itself is not
+    SQL-replayable): the query materializes its deterministic label
+    assignment to ``fixtures/<sf>/louvain_labels.parquet`` and emits
+    (community, n_members, modularity); DuckDB independently recomputes
+    the member counts AND the Newman modularity of that assignment from
+    the raw edge list — so the hash row certifies both that the emitted
+    partition is real and that its quality is what Spark claims, closing
+    the one `no_oracle` row of CORRECTNESS_r04."""
+    import os
+
+    from grafeo_memory_spark.graph.algorithms import modularity
+    from grafeo_memory_spark.sources.tables import fixtures_dir
+
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
     labels = louvain(edges, max_iter=10)
+    out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
+    labels.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    # stable filenames: reruns of the deterministic assignment must not
+    # churn the committed fixture (the oracle globs *.parquet)
+    for f in os.listdir(out_dir):
+        p = os.path.join(out_dir, f)
+        if f.startswith("part-"):
+            os.replace(p, os.path.join(out_dir, "labels.parquet"))
+        elif not f.endswith(".parquet"):
+            os.remove(p)
+    q = round(modularity(edges, labels), 6)
     return (
         labels.groupBy("community")
         .agg(F.count("*").alias("n_members"))
         .where(F.col("n_members") >= 2)
+        .withColumn("modularity", F.lit(q))
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
     )
 
