@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from grafeo_memory_spark.queries import (  # noqa: E402,F401
     vector_q,
     algo_q,
+    corpus_q,
     graph_q,
     pipeline_ops_q,
     pipeline_q,

@@ -1,0 +1,314 @@
+"""Driver queries for the LLM-corpus construction operators (builder
+brief first-class components): C4 global span dedup, GPT-3-style
+benchmark decontamination, Gopher quality signals, and deterministic
+stratified / domain-mixture sampling — each hash-verified against a
+DuckDB replay of the identical arithmetic (portable md5 hashing, ratio
+math mirrored term-for-term).
+
+These took the registry slots freed by merging the near-duplicate
+relational rows (VERDICT r4 item 1): the §2 operators keep green rows
+through the merged queries; the corpus layer gains driver-grade
+oracle evidence it previously only had via pytest replay oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.cleaning import (
+    duplicate_line_fraction,
+    gopher_quality_flags,
+    mean_word_length,
+    symbol_to_word_ratio,
+    top_word_ratio,
+)
+from grafeo_memory_spark.pipeline.decontamination import contamination_matches
+from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
+from grafeo_memory_spark.pipeline.sampling import (
+    mixture_sample,
+    stratified_sample,
+)
+from grafeo_memory_spark.queries import query
+from grafeo_memory_spark.queries.pipeline_ops_q import _hash_sql, _shingles_sql
+from grafeo_memory_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------- SQL
+# fragments mirroring pipeline/cleaning.py exactly
+
+#: words as cleaning._words defines them: lowercase, split on runs of
+#: anything outside [a-z0-9'], drop empties ('' doubles the quote in SQL)
+_CWORDS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),"
+    " w -> w <> '')"
+)
+
+#: trimmed non-blank lines as cleaning.duplicate_line_fraction builds them
+_CLINES = (
+    "list_filter(list_transform(string_split(text, chr(10)),"
+    " l -> trim(l)), l -> l <> '')"
+)
+
+_DUP_LINE_SQL = (
+    f"(CASE WHEN len({_CLINES}) <= 0 THEN 0.0 ELSE "
+    f"(len({_CLINES}) - len(list_distinct({_CLINES})))::DOUBLE"
+    f" / len({_CLINES}) END)"
+)
+
+# quadratic distinct×filter is fine for the ORACLE (sf0.01 docs are
+# tiny); the Spark side uses the O(n log n) sorted run-length fold —
+# max run length in the sorted array == max word frequency
+_TOP_WORD_SQL = (
+    f"(CASE WHEN len({_CWORDS}) <= 0 THEN 0.0 ELSE "
+    f"list_max(list_transform(list_distinct({_CWORDS}),"
+    f" w -> len(list_filter({_CWORDS}, x -> x = w))))::DOUBLE"
+    f" / len({_CWORDS}) END)"
+)
+
+_MWL_SQL = (
+    f"(CASE WHEN len({_CWORDS}) <= 0 THEN 0.0 ELSE "
+    f"list_sum(list_transform({_CWORDS}, w -> length(w)))::DOUBLE"
+    f" / len({_CWORDS}) END)"
+)
+
+_SYM_SQL = (
+    "(CASE WHEN len({w}) <= 0 THEN 0.0 ELSE "
+    "(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))"
+    r" + 3 * len(string_split_regex(text, '\.\.\.')) - 3)::DOUBLE"
+    " / len({w}) END)"
+).format(w=_CWORDS)
+
+#: deterministic md5 Bernoulli uniform from sampling.stratified_sample:
+#: first 8 hex chars of md5(id:salt) / 16^8
+def _u_sql(salt: int) -> str:
+    return (
+        f"(('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 8))"
+        "::BIGINT::DOUBLE / 4294967296.0)"
+    )
+
+
+# ------------------------------------------------------------ queries
+
+
+@query(
+    "span_dedup",
+    oracle="""
+    WITH ls AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> trim(x) <> '')
+               AS lines
+      FROM documents
+    ),
+    units AS (
+      SELECT doc_id, i - 1 AS pos, lines[i] AS unit FROM (
+        SELECT doc_id, lines,
+               unnest(generate_series(1, len(lines))) AS i
+        FROM ls)
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(lines[i + 1 : i + 5], ' ') AS sp
+      FROM (
+        SELECT doc_id, lines,
+               unnest(generate_series(0, len(lines) - 5)) AS i
+        FROM ls WHERE len(lines) >= 5)
+    ),
+    keeper AS (
+      SELECT sp, min(doc_id * 1000000 + pos) AS k FROM spans GROUP BY sp
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, pos + j AS pos FROM (
+        SELECT spans.doc_id, spans.pos,
+               unnest(generate_series(0, 4)) AS j
+        FROM spans JOIN keeper USING (sp)
+        WHERE spans.doc_id * 1000000 + spans.pos <> keeper.k)
+    ),
+    rebuilt AS (
+      SELECT u.doc_id, string_agg(u.unit, ' ' ORDER BY u.pos) AS txt
+      FROM units u
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = u.doc_id AND r.pos = u.pos)
+      GROUP BY u.doc_id
+    )
+    SELECT d.doc_id, md5(COALESCE(rb.txt, '')) AS text_md5,
+           CAST(length(COALESCE(rb.txt, '')) AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN rebuilt rb USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (`pipeline/dedup.dedup_spans_global`,
+    Raffel et al. 2020 §2.2): any 5-run of consecutive units occurring
+    more than once corpus-wide survives only at its smallest (id, pos)
+    occurrence; later occurrences are cut and the doc reassembled. The
+    driver documents are single-line, so the unit separator here is the
+    space (word-run dedup) — same operator, and with the small synthetic
+    vocabulary the removal path is genuinely exercised. The oracle
+    replays first-occurrence election, span-window removal, and
+    reassembly on the span *strings* (Spark groups on xxhash64 of the
+    same strings — equality of groups, not of hash values, is what the
+    semantics need). Rewritten text compares as md5 + length."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = dedup_spans_global(docs, "text", "doc_id", span=5, sep=" ")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontamination_matches",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT {_hash_sql('g', 0)} AS h FROM (
+        SELECT unnest({_shingles_sql(13)}) AS g
+        FROM documents WHERE doc_id < 10)
+    ),
+    grams AS (
+      SELECT doc_id, {_hash_sql('g', 0)} AS h FROM (
+        SELECT doc_id, unnest({_shingles_sql(13)}) AS g FROM documents)
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS matched_ngrams
+      FROM grams JOIN bench USING (h) GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS total_ngrams FROM grams
+      WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.matched_ngrams, t.total_ngrams,
+           round(h.matched_ngrams::DOUBLE / t.total_ngrams, 6)
+             AS matched_fraction
+    FROM hits h JOIN totals t USING (doc_id)
+    ORDER BY h.doc_id
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination evidence
+    (`pipeline/decontamination.contamination_matches`, Brown et al.
+    2020 §C): per-doc count of word 13-grams colliding with the
+    benchmark set's n-gram hashes. Benchmark = the first ten documents
+    (standing in for an eval set; every one of them self-matches, and
+    the small vocabulary produces genuine cross-doc collisions too).
+    The corpus side is map-only with the benchmark hash set broadcast —
+    the plan the 100 TB deployment runs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") < 10).select(
+        F.col("text").alias("prompt")
+    )
+    m = contamination_matches(
+        docs, bench, text_col="text", id_col="doc_id",
+        bench_text_col="prompt", n=13,
+    )
+    return m.select(
+        F.col("id").alias("doc_id"),
+        "matched_ngrams",
+        "total_ngrams",
+        F.round("matched_fraction", 6).alias("matched_fraction"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_CWORDS}) AS BIGINT) AS n_words,
+           round({_MWL_SQL}, 6) AS mean_word_len,
+           round({_DUP_LINE_SQL}, 6) AS dup_line_frac,
+           round({_TOP_WORD_SQL}, 6) AS top_word,
+           round({_SYM_SQL}, 6) AS symbol_ratio,
+           (len({_CWORDS}) BETWEEN 50 AND 100000
+            AND {_MWL_SQL} BETWEEN 3.0 AND 10.0
+            AND {_DUP_LINE_SQL} <= 0.3
+            AND {_TOP_WORD_SQL} <= 0.2
+            AND {_SYM_SQL} <= 0.1) AS keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-family quality signals (`pipeline/cleaning`, Rae et
+    al. 2021 A.1.1) per document: word count, mean word length,
+    duplicate-line fraction, top-word repetition ratio,
+    symbol-to-word ratio, and the composed keep verdict — every kernel
+    value-checked numerically, not just the booleans. Pure Column
+    codegen; the filter pushes into the scan in a real pipeline."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9']+"), lambda w: w != ""
+            )
+        ).cast("long").alias("n_words"),
+        F.round(mean_word_length("text"), 6).alias("mean_word_len"),
+        F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(top_word_ratio("text"), 6).alias("top_word"),
+        F.round(symbol_to_word_ratio("text"), 6).alias("symbol_ratio"),
+        gopher_quality_flags("text").getField("keep").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_u_sql(7)} <
+      (CASE source WHEN 'src0' THEN 0.5
+                   WHEN 'src1' THEN 0.25
+                   WHEN 'src2' THEN 0.125
+                   ELSE 0.0 END)
+    ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample
+    (`pipeline/sampling.stratified_sample`): a row is kept iff the
+    first 8 hex digits of md5(id:salt) fall under fraction·16⁸ — a pure
+    function of the row, so reruns/retries/different partitionings all
+    select the same rows (the resumability property a 100 TB pipeline
+    needs, and exactly why the oracle can replay the selection
+    bit-for-bit). Map-only: no shuffle, filter composes with the scan.
+    Strata absent from the fraction map drop (sampleBy semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.125},
+        id_col="doc_id", salt=7,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH w(d, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    nw AS (SELECT d, wt / (SELECT sum(wt) FROM w) AS nwt FROM w),
+    avail AS (
+      SELECT source AS d, CAST(count(*) AS DOUBLE) AS a
+      FROM documents GROUP BY source
+    ),
+    tt AS (SELECT min(a / nwt) AS t FROM avail JOIN nw USING (d)),
+    fr AS (
+      SELECT nw.d, nw.nwt * tt.t / avail.a AS f
+      FROM nw JOIN avail USING (d) CROSS JOIN tt
+    )
+    SELECT doc_id, source FROM documents JOIN fr ON fr.d = source
+    WHERE {_u_sql(3)} < fr.f
+    ORDER BY doc_id
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (`pipeline/sampling.mixture_sample`):
+    solve the largest feasible total T with per-domain shares 0.5 / 0.3
+    / 0.2 over src0/src1/src2 (closed form from a |domains|-row
+    aggregate, nothing else touches the corpus), then apply the
+    deterministic md5 Bernoulli per domain. The oracle replays the
+    whole thing — availability aggregate, feasibility min, fraction
+    arithmetic in the same operation order, and the exact row
+    selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        id_col="doc_id", salt=3,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")

@@ -34,41 +34,41 @@ from grafeo_memory_spark.sources.tables import load_table
 
 
 @query(
-    "scope_filter",
+    "filter_ops",
     oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    SELECT 'scope' AS kind, c_custkey AS id, c_name AS name,
+           round(c_acctbal, 2) AS val
     FROM customer
     WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
-    ORDER BY c_custkey
-    """,
-)
-def q_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 — conjunctive equality scope filter (`manager.py:164-175`).
-    Both predicates push down to the Parquet scan."""
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        cust.where(scope_filter(c_mktsegment="BUILDING", c_nationkey=5))
-        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "operator_predicates",
-    oracle="""
-    SELECT p_partkey, p_brand, p_size
+    UNION ALL
+    SELECT 'ops' AS kind, p_partkey AS id, p_brand AS name,
+           CAST(p_size AS DOUBLE) AS val
     FROM part
     WHERE p_size >= 10 AND p_size < 40
       AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
       AND p_type IS NOT NULL AND contains(p_type, 'O')
       AND (p_retailprice IS NULL OR p_retailprice <> 0.0)
       AND p_partkey NOT IN (1, 2, 3)
-    ORDER BY p_partkey
+    ORDER BY kind, id
     """,
 )
-def q_operator_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 — Mongo-style `$op` predicate compiler
-    (`search/vector.py:351-381`): $gte/$lt/$in/$contains/$ne/$nin."""
+def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + F2 in one driver row (merged to free registry slots for the
+    corpus ops, VERDICT r4 item 1): the conjunctive equality scope
+    filter (`manager.py:164-175`) tagged 'scope', unioned with the
+    Mongo-style `$op` predicate compiler
+    (`search/vector.py:351-381`: $gte/$lt/$in/$contains/$ne/$nin)
+    tagged 'ops'. Both predicate sets push down to their Parquet scans.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    scope = cust.where(
+        scope_filter(c_mktsegment="BUILDING", c_nationkey=5)
+    ).select(
+        F.lit("scope").alias("kind"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
     part = load_table(spark, sf_dir, "part")
     pred = compile_filters(
         {
@@ -79,37 +79,17 @@ def q_operator_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey": {"$nin": [1, 2, 3]},
         }
     )
-    return part.where(pred).select("p_partkey", "p_brand", "p_size").orderBy("p_partkey")
-
-
-@query(
-    "time_range_filter",
-    oracle="""
-    SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS order_epoch
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
-    ORDER BY o_orderkey
-    """,
-)
-def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 — time-range filter (`manager.py:713-716`); min/max Parquet
-    pruning applies to the pushed-down range."""
-    orders = load_table(spark, sf_dir, "orders")
-    lo = F.to_timestamp(F.lit("1996-01-01"))
-    hi = F.to_timestamp(F.lit("1996-12-31 23:59:59"))
-    return (
-        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
-        .select(
-            "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
-        )
-        .orderBy("o_orderkey")
+    ops = part.where(pred).select(
+        F.lit("ops").alias("kind"),
+        F.col("p_partkey").alias("id"),
+        F.col("p_brand").alias("name"),
+        F.col("p_size").cast("double").alias("val"),
     )
+    return scope.unionByName(ops).orderBy("kind", "id")
 
 
 @query(
-    "point_in_time",
+    "temporal_filters",
     oracle="""
     WITH bitemporal AS (
       SELECT o_orderkey,
@@ -118,19 +98,38 @@ def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN o_orderdate + INTERVAL 90 DAY END AS invalid_at
       FROM orders
     )
-    SELECT o_orderkey
+    SELECT 'range' AS kind, o_orderkey,
+           epoch(o_orderdate)::BIGINT AS order_epoch
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    UNION ALL
+    SELECT 'pit' AS kind, o_orderkey, CAST(NULL AS BIGINT) AS order_epoch
     FROM bitemporal
     WHERE valid_at IS NULL
        OR (valid_at <= TIMESTAMP '1997-06-01'
            AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '1997-06-01'))
-    ORDER BY o_orderkey
+    ORDER BY kind, o_orderkey
     """,
 )
-def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 — bi-temporal point-in-time predicate (`manager.py:2031-2040`),
-    permissive on missing valid_at. valid/invalid intervals are derived
-    from order dates; native memories semantics are unit-tested."""
+def q_temporal_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 + F5 in one driver row (merged to free registry slots,
+    VERDICT r4 item 1): the time-range filter (`manager.py:713-716`,
+    min/max Parquet pruning on the pushed-down range) tagged 'range',
+    unioned with the bi-temporal point-in-time predicate
+    (`manager.py:2031-2040`, permissive on missing valid_at) tagged
+    'pit'. valid/invalid intervals derive from order dates; native
+    memories semantics are unit-tested."""
     orders = load_table(spark, sf_dir, "orders")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-12-31 23:59:59"))
+    rng = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    ).select(
+        F.lit("range").alias("kind"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
     bt = orders.select(
         "o_orderkey",
         F.col("o_orderdate").alias("valid_at"),
@@ -144,77 +143,82 @@ def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = v.isNull() | (
         (v <= F.to_timestamp(F.lit(pit))) & (iv.isNull() | (iv > F.to_timestamp(F.lit(pit))))
     )
-    return bt.where(cond).select("o_orderkey").orderBy("o_orderkey")
-
-
-@query(
-    "topk_by_score",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS score
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 — global top-k (`manager.py:792`); TakeOrderedAndProject,
-    no shuffle."""
-    orders = load_table(spark, sf_dir, "orders")
-    return top_k(
-        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("score")),
-        [F.col("score").desc(), F.col("o_orderkey").asc()],
-        10,
+    pit_rows = bt.where(cond).select(
+        F.lit("pit").alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("order_epoch"),
     )
+    return rng.unionByName(pit_rows).orderBy("kind", "o_orderkey")
 
 
 @query(
-    "latest_per_group",
+    "window_ops",
     oracle="""
-    SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS order_epoch
+    SELECT 'topk' AS kind, o_orderkey, CAST(NULL AS BIGINT) AS k2,
+           round(o_totalprice, 2) AS score
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    )
+    UNION ALL
+    SELECT 'latest' AS kind, o_orderkey, o_custkey AS k2,
+           CAST(epoch(o_orderdate) AS DOUBLE) AS score
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders
     ) WHERE rn = 1
-    ORDER BY o_custkey
-    """,
-)
-def q_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 — argmax created_at per group (session predecessor probe,
-    `manager.py:1191-1209`). One shuffle on the group key."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        latest_per_group(orders, ["o_custkey"], "o_orderdate", tiebreak="o_orderkey")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
-        )
-        .orderBy("o_custkey")
-    )
-
-
-@query(
-    "oldest_first_slice",
-    oracle="""
-    SELECT o_orderkey, o_custkey
+    UNION ALL
+    SELECT 'oldest' AS kind, o_orderkey, o_custkey AS k2,
+           CAST(NULL AS DOUBLE) AS score
     FROM (
       SELECT *, row_number() OVER (
         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders
     ) WHERE rn > 5
-    ORDER BY o_orderkey
+    ORDER BY kind, o_orderkey
     """,
 )
-def q_oldest_first_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 — consolidation slice: all but the newest ``preserve_recent=5``
-    rows (`manager.py:1857-1860`)."""
+def q_window_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W2 + W4 in one driver row (merged to free registry slots,
+    VERDICT r4 item 1): the global top-k (`manager.py:792`;
+    TakeOrderedAndProject, no shuffle) tagged 'topk', argmax created_at
+    per group (session predecessor probe, `manager.py:1191-1209`; one
+    shuffle on the group key) tagged 'latest', and the consolidation
+    slice keeping all but the newest ``preserve_recent=5`` rows
+    (`manager.py:1857-1860`) tagged 'oldest'."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        drop_newest(orders, 5, "o_orderdate", tiebreak="o_orderkey")
-        .select("o_orderkey", "o_custkey")
-        .orderBy("o_orderkey")
+    topk = top_k(
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("score")),
+        [F.col("score").desc(), F.col("o_orderkey").asc()],
+        10,
+    ).select(
+        F.lit("topk").alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("k2"),
+        "score",
+    )
+    latest = latest_per_group(
+        orders, ["o_custkey"], "o_orderdate", tiebreak="o_orderkey"
+    ).select(
+        F.lit("latest").alias("kind"),
+        "o_orderkey",
+        F.col("o_custkey").alias("k2"),
+        F.col("o_orderdate")
+        .cast("timestamp")
+        .cast("long")
+        .cast("double")
+        .alias("score"),
+    )
+    oldest = drop_newest(orders, 5, "o_orderdate", tiebreak="o_orderkey").select(
+        F.lit("oldest").alias("kind"),
+        "o_orderkey",
+        F.col("o_custkey").alias("k2"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return topk.unionByName(latest).unionByName(oldest).orderBy(
+        "kind", "o_orderkey"
     )
 
 
@@ -301,53 +305,49 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_dedupe",
+    "set_ops",
     oracle="""
-    SELECT DISTINCT o_orderkey FROM (
-      SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
-      UNION ALL
-      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
-    ) ORDER BY o_orderkey
-    """,
-)
-def q_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 — union of two candidate streams + dedupe by id
-    (`manager.py:663-665`)."""
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
-    b = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy("o_orderkey")
-
-
-@query(
-    "semi_anti_membership",
-    oracle="""
-    SELECT 'member' AS kind, c_custkey FROM customer
+    SELECT 'dedupe' AS kind, o_orderkey AS key FROM (
+      SELECT DISTINCT o_orderkey FROM (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      )
+    )
+    UNION ALL
+    SELECT 'member' AS kind, c_custkey AS key FROM customer
     WHERE c_custkey IN (
       SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
     UNION ALL
-    SELECT 'missing' AS kind, c_custkey FROM customer
+    SELECT 'missing' AS kind, c_custkey AS key FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    ORDER BY kind, c_custkey
+    ORDER BY kind, key
     """,
 )
-def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3 + J6 — both halves of set membership in one query (merged so
-    the registry fits the driver's 50-query snapshot, VERDICT r3 item
-    1): the left-semi membership check (`manager.py:1604-1611`) tagged
-    'member', unioned with find-or-create's left-anti "find missing"
-    half (`_find_or_create_entity`, `manager.py:1685-1710`) tagged
-    'missing'."""
-    cust = load_table(spark, sf_dir, "customer")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + U3 + J6 in one driver row (merged to free registry slots,
+    VERDICT r4 item 1): union of two candidate streams + dedupe by id
+    (`manager.py:663-665`) tagged 'dedupe', the left-semi membership
+    check (`manager.py:1604-1611`) tagged 'member', and find-or-create's
+    left-anti "find missing" half (`_find_or_create_entity`,
+    `manager.py:1685-1710`) tagged 'missing'."""
     orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    dedupe = (
+        a.unionByName(b)
+        .dropDuplicates(["o_orderkey"])
+        .select(F.lit("dedupe").alias("kind"), F.col("o_orderkey").alias("key"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
     big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
     semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
-        F.lit("member").alias("kind"), "c_custkey"
+        F.lit("member").alias("kind"), F.col("c_custkey").alias("key")
     )
     anti = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select(F.lit("missing").alias("kind"), "c_custkey")
-    return semi.unionByName(anti).orderBy("kind", "c_custkey")
+    ).select(F.lit("missing").alias("kind"), F.col("c_custkey").alias("key"))
+    return dedupe.unionByName(semi).unionByName(anti).orderBy("kind", "key")
 
 
 @query(
