@@ -9,12 +9,20 @@ Each query executes its full physical plan via the noop sink (no driver
 collect — measures cluster-side work, not result serialization). A tiny
 warm-up query first absorbs JVM/codegen spin-up so per-query numbers are
 stable.
+
+Measurement protocol: every query runs REPEATS times (default 3) and
+reports the per-query MEDIAN; the headline value is the sum of medians.
+Single runs on a shared machine swing ±50% from scheduler noise (the
+r4→r3 `search_pipeline`/`modulated_recency` "regressions" were exactly
+this), and the median of three is the cheapest estimator that discards
+one bad draw. Override with $SPARK_GRAFT_BENCH_REPEATS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -72,13 +80,17 @@ def main() -> None:
             except Exception:
                 pass  # the measured run reports the failure
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            _execute(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                _execute(fn(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as exc:  # keep benching the rest
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -90,6 +102,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        "repeats": repeats,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     if failures:
