@@ -204,33 +204,43 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 def modularity(edges: DataFrame, labels: DataFrame) -> float:
     """Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²] of a partition
     over the undirected simple graph; used by the Louvain invariant
-    tests (non-decreasing per merge round)."""
+    tests (non-decreasing per merge round) and the driver query's
+    structural oracle.
+
+    ONE aggregation job: per-community degree and intra-row counts in
+    the same groupBy — 2m, the intra-edge total, and the degree term
+    all fall out of the |communities|-row collect (the earlier version
+    ran three jobs: a count plus two separate aggregates). Assumes
+    ``labels`` covers every edge endpoint, which every producer here
+    (louvain/LPA/connected components/singleton maps) guarantees."""
     und = _undirected(edges)
-    m = und.count() / 2.0
-    if m == 0:
-        return 0.0
     lab = labels.select("node_id", "community")
-    e = (
-        und.join(lab.withColumnRenamed("node_id", "src")
-                 .withColumnRenamed("community", "ca"), "src")
-        .join(lab.withColumnRenamed("node_id", "dst")
-              .withColumnRenamed("community", "cb"), "dst")
+    rows = (
+        und.join(
+            lab.withColumnRenamed("node_id", "src")
+            .withColumnRenamed("community", "ca"),
+            "src",
+        )
+        .join(
+            lab.withColumnRenamed("node_id", "dst")
+            .withColumnRenamed("community", "cb"),
+            "dst",
+        )
+        .groupBy("ca")
+        .agg(
+            F.count("*").alias("deg_c"),
+            F.sum(
+                F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+            ).alias("intra2"),
+        )
+        .collect()
     )
-    row = e.agg(
-        # each undirected edge appears twice in `und`
-        (F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)) / 2.0)
-        .alias("intra"),
-    ).collect()[0]
-    intra = row["intra"] or 0.0
-    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-    degc = (
-        deg.join(lab.withColumnRenamed("node_id", "src"), "src")
-        .groupBy("community")
-        .agg(F.sum("deg").alias("deg_c"))
-        .agg(F.sum((F.col("deg_c") / (2.0 * m)) ** 2))
-        .collect()[0][0]
-        or 0.0
-    )
+    two_m = float(sum(r["deg_c"] for r in rows))
+    if two_m == 0:
+        return 0.0
+    m = two_m / 2.0
+    intra = sum(r["intra2"] or 0 for r in rows) / 2.0
+    degc = sum((r["deg_c"] / (2.0 * m)) ** 2 for r in rows)
     return intra / m - degc
 
 

@@ -213,7 +213,10 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = louvain(edges, max_iter=10)
     out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
-    labels.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    # repartition(1), not coalesce(1): coalesce collapses the whole
+    # upstream join into a single task; the shuffle keeps the build
+    # parallel and only the kB-sized file write is single-task
+    labels.repartition(1).write.mode("overwrite").parquet(out_dir)
     # stable filenames: reruns of the deterministic assignment must not
     # churn the committed fixture (the oracle globs *.parquet)
     for f in os.listdir(out_dir):
