@@ -252,6 +252,29 @@ class MemoryEngine:
         except Exception:
             pass
 
+    def _make_usage_collector(self):
+        """Name-for-name twin of the reference's collector accessor
+        (`manager.py:177-193`): returns ``(collector, total)`` where
+        calling ``collector(operation, usage)`` accumulates into
+        ``total`` and fires the P6 usage callback with errors swallowed
+        — the same contract `_fire_usage` applies to the engine's own
+        operations, exposed for callers that meter external work."""
+        from grafeo_memory_spark.protocols import RunUsage
+
+        total = RunUsage()
+        cb = self.usage_callback
+
+        def collector(operation: str, usage: "RunUsage") -> None:
+            total.incr(usage)
+            if cb is None:
+                return
+            try:
+                cb(operation, usage)
+            except Exception:
+                pass
+
+        return collector, total
+
     def _span(self, name: str, **attributes):
         """One ingest-stage span (no-op context manager when
         ``instrument`` is off, reference `_tracing.py` contract)."""

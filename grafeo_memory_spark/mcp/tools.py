@@ -60,16 +60,16 @@ def memory_add(
     infer: bool = True,
     ctx: Any = None,
 ) -> str:
-    """Add a memory by extracting facts from text.
+    """Store durable facts distilled from a piece of text.
 
-    Use this tool when: you learn something new about the user or topic
-    that should be remembered for future conversations.
-    Do NOT use this for: searching existing memories (use
-    memory_search), updating a specific memory (use memory_update).
+    Reach for this whenever the conversation surfaces information worth
+    keeping across sessions. To look up what is already stored, call
+    memory_search instead; to rewrite one known entry, call
+    memory_update.
 
     Args:
-        text: The text to extract memories from.
-        user_id: User to store the memory for ("default" if omitted).
+        text: Source text the extractor distills facts from.
+        user_id: Owner of the stored memory (falls back to "default").
         memory_type: "semantic", "procedural", or "episodic".
         infer: True to run policy extraction, False to store as-is.
 
@@ -97,11 +97,11 @@ def memory_add_batch(
     infer: bool = True,
     ctx: Any = None,
 ) -> str:
-    """Add multiple memories in a single batch operation.
+    """Store facts from several texts in one call.
 
     Args:
-        texts: List of text strings to extract memories from.
-        user_id: User to store the memories for ("default" if omitted).
+        texts: The batch of source strings to distill facts from.
+        user_id: Owner of the stored memories (falls back to "default").
         memory_type: "semantic", "procedural", or "episodic".
         infer: True to run policy extraction, False to store as-is.
 
@@ -131,12 +131,12 @@ def memory_search(
     point_in_time: int | None = None,
     ctx: Any = None,
 ) -> str:
-    """Search memories using hybrid vector similarity and graph context.
+    """Retrieve relevant memories (vector + graph hybrid ranking).
 
     Args:
-        query: Natural language search query.
+        query: The natural-language question to match against.
         user_id: Search memories for this user ("default" if omitted).
-        k: Maximum number of results to return (default 10).
+        k: Result-count cap (10 when unset).
         memory_type: Filter by type, or null for all.
         min_score: Minimum score threshold; results below are excluded.
         point_in_time: Epoch ms — only facts valid at this moment (F5).
@@ -163,11 +163,11 @@ def memory_search(
 
 @mcp.tool()
 def memory_update(memory_id: str, text: str, ctx: Any = None) -> str:
-    """Update an existing memory's text. Re-embeds and records history.
+    """Rewrite one memory's text (embedding refreshed, history kept).
 
     Args:
-        memory_id: The ID of the memory to update.
-        text: The new text for the memory.
+        memory_id: Which memory to rewrite.
+        text: Replacement content.
 
     Returns:
         JSON with the update event (action, memory_id, text).
@@ -188,7 +188,7 @@ def memory_update(memory_id: str, text: str, ctx: Any = None) -> str:
 
 @mcp.tool()
 def memory_delete(memory_id: str, ctx: Any = None) -> str:
-    """Delete a single memory by ID.
+    """Remove one memory, addressed by its ID.
 
     Returns:
         JSON with success status.
@@ -203,7 +203,7 @@ def memory_delete(memory_id: str, ctx: Any = None) -> str:
 
 @mcp.tool()
 def memory_delete_all(user_id: str | None = None, ctx: Any = None) -> str:
-    """Delete all memories for a user. Use with caution.
+    """Wipe every memory a user has stored - irreversible.
 
     Returns:
         JSON with the count of deleted memories.
@@ -222,10 +222,10 @@ def memory_list(
     memory_type: str | None = None,
     ctx: Any = None,
 ) -> str:
-    """List all stored memories for a user.
+    """Enumerate a user's stored memories.
 
     Args:
-        user_id: The user whose memories to list ("default" if omitted).
+        user_id: Whose memories to enumerate (falls back to "default").
         memory_type: Filter by type, or null for all.
 
     Returns:
@@ -247,12 +247,12 @@ def memory_summarize(
     batch_size: int = 20,
     ctx: Any = None,
 ) -> str:
-    """Consolidate old memories into fewer, topic-grouped entries.
+    """Compact aging memories into topic-grouped summaries.
 
     Args:
-        user_id: The user whose memories to consolidate.
-        preserve_recent: Most recent memories kept untouched (default 5).
-        batch_size: Memories per consolidation batch (default 20).
+        user_id: Whose memories the consolidation sweeps.
+        preserve_recent: How many newest entries stay untouched (5).
+        batch_size: Entries folded per summarization batch (20).
 
     Returns:
         JSON with events list (ADD for each new summary).
@@ -274,7 +274,7 @@ def memory_summarize(
 
 @mcp.tool()
 def memory_history(memory_id: str, ctx: Any = None) -> str:
-    """Show the change history for a specific memory.
+    """Return the audit trail of edits for one memory.
 
     Returns:
         JSON with history entries (event, old/new text, timestamp).
@@ -289,7 +289,7 @@ def memory_history(memory_id: str, ctx: Any = None) -> str:
 
 @mcp.tool()
 def memory_stats(ctx: Any = None) -> str:
-    """Show memory system statistics: counts, type breakdown.
+    """Report store-level counters (totals and per-type breakdown).
 
     Returns:
         JSON with total_memories, per-type counts, entity/relation
@@ -311,7 +311,7 @@ def memory_explain_search(
     memory_type: str | None = None,
     ctx: Any = None,
 ) -> str:
-    """Explain a search query step-by-step with the pipeline trace.
+    """Run a search and return the stage-by-stage pipeline trace with it.
 
     Returns:
         JSON with query, steps (stage trace), and results.

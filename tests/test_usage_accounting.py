@@ -223,3 +223,27 @@ class TestResultCarriedUsage:
         eng = MemoryEngine(spark, extractor=_fact_extractor())
         assert eng.usage_callback is None
         assert eng.add("text", user_id="u").usage.calls == 2
+
+    def test_make_usage_collector_accumulates_and_fires(self, spark):
+        from grafeo_memory_spark.protocols import RunUsage
+
+        seen = []
+        eng = MemoryEngine(
+            spark, usage_callback=lambda op, u: seen.append((op, u.calls))
+        )
+        collector, total = eng._make_usage_collector()
+        collector("extract", RunUsage(calls=1, input_tokens=5))
+        collector("reconcile", RunUsage(calls=2))
+        assert total.calls == 3 and total.input_tokens == 5
+        assert [op for op, _ in seen] == ["extract", "reconcile"]
+
+    def test_make_usage_collector_swallows_callback_errors(self, spark):
+        from grafeo_memory_spark.protocols import RunUsage
+
+        def bad(op, u):
+            raise RuntimeError("accounting down")
+
+        eng = MemoryEngine(spark, usage_callback=bad)
+        collector, total = eng._make_usage_collector()
+        collector("extract", RunUsage(calls=1))  # must not raise
+        assert total.calls == 1
