@@ -22,6 +22,7 @@ EXAMPLES = [
     "streaming_dedup",
     "similarity_search",
     "communities",
+    "temporal_bench",
 ]
 
 sys.path.insert(
