@@ -37,6 +37,7 @@ __all__ = [
     "lsh_bands",
     "near_dup_pairs_minhash",
     "simhash16",
+    "simhash64",
     "jaccard_similarity_join",
     "dedup_clusters",
     "near_dedup",
@@ -184,19 +185,17 @@ def near_dup_pairs_minhash(
     return verified.where(F.col("jaccard") >= jaccard_threshold)
 
 
-def simhash16(col: Column | str, n: int = 1) -> Column:
-    """16-bit SimHash over word ``n``-grams — each token votes ±1 per
-    bit of its portable hash; the sign vector packs into an int.
+def _simhash_lane(col: Column | str, n: int, seed: int) -> Column:
+    """One 16-bit SimHash lane over word ``n``-grams with the given
+    hash seed — each token votes ±1 per bit of its portable hash; the
+    sign vector packs into an int.
 
     Single-pass formulation: gram hashes are materialized once
     (md5 per gram exactly once), then one ``aggregate`` folds all 16
     bit-votes with an array accumulator — 16× less hashing than the
     naive per-bit version (measured 109 s → ~2 s on 5k docs at sf0.1).
-
-    16 bits keeps the oracle SQL byte-identical and compact; production
-    would widen to 64 with the same structure (4 stacked 16-bit lanes).
     """
-    hashes = F.transform(word_shingles(col, n), lambda g: shingle_hash(g, 0))
+    hashes = F.transform(word_shingles(col, n), lambda g: shingle_hash(g, seed))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 16),
@@ -221,6 +220,32 @@ def simhash16(col: Column | str, n: int = 1) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+
+def simhash16(col: Column | str, n: int = 1) -> Column:
+    """16-bit SimHash (lane 0 of :func:`simhash64`) — compact enough
+    for a byte-identical oracle; kept as the continuity query."""
+    return _simhash_lane(col, n, 0)
+
+
+def simhash64(col: Column | str, n: int = 1) -> Column:
+    """64-bit SimHash as 4 stacked 16-bit lanes (seeds 0-3), each the
+    same single-pass vote fold as :func:`simhash16`; lane k occupies
+    bits 16k..16k+15, so lane 0 of the result IS simhash16. Four
+    independent 60-bit hash draws per gram keep the lanes decorrelated
+    — the Hamming distance behaves like a true 64-bit sketch — while
+    every lane stays replayable in the md5-portable oracle.
+
+    The value is the standard two's-complement int64 (negative when
+    vote bit 63 is set): the top lane is reinterpreted as signed before
+    scaling, because a plain ``lane3 << 48`` overflows under ANSI mode
+    in Spark AND DuckDB. Compare/XOR against ``& (2**64 - 1)`` when you
+    want the unsigned view."""
+    l3 = _simhash_lane(col, n, 3).cast("long")
+    out = F.when(l3 >= 32768, l3 - 65536).otherwise(l3) * F.lit(1 << 48)
+    for k in (2, 1):
+        out = out + _simhash_lane(col, n, k).cast("long") * F.lit(1 << (16 * k))
+    return out + _simhash_lane(col, n, 0).cast("long")
 
 
 def jaccard_similarity_join(

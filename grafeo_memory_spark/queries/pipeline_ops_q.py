@@ -20,6 +20,7 @@ from grafeo_memory_spark.pipeline.dedup import (
     jaccard_similarity_join,
     minhash_signature,
     simhash16,
+    simhash64,
 )
 from grafeo_memory_spark.pipeline.text_stats import (
     STOPWORDS,
@@ -59,17 +60,33 @@ def _minhash_sql(n: int, seed: int) -> str:
     )
 
 
-def _simhash16_sql() -> str:
+def _simhash16_sql(seed: int = 0) -> str:
     words = _shingles_sql(1)
     bits = []
     for b in range(16):
         vote = (
             f"list_sum(list_transform({words}, "
-            f"w -> CASE WHEN ({_hash_sql('w', 0)} & {1 << b}) > 0 "
+            f"w -> CASE WHEN ({_hash_sql('w', seed)} & {1 << b}) > 0 "
             f"THEN 1 ELSE -1 END))"
         )
         bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(bits)
+
+
+def _simhash64_sql() -> str:
+    """Four stacked 16-bit lanes (seeds 0-3), lane k at bits
+    16k..16k+15, top lane reinterpreted as signed two's complement —
+    mirrors pipeline.dedup.simhash64 exactly (a plain shift of lane 3
+    overflows BIGINT in both engines)."""
+    l3 = f"({_simhash16_sql(3)})"
+    top = (
+        f"(CASE WHEN {l3} >= 32768 THEN {l3} - 65536 ELSE {l3} END)::BIGINT"
+        f" * {1 << 48}"
+    )
+    rest = " + ".join(
+        f"({_simhash16_sql(k)})::BIGINT * {1 << (16 * k)}" for k in (2, 1, 0)
+    )
+    return f"{top} + {rest}"
 
 
 _WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
@@ -172,17 +189,23 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_fingerprints",
     oracle=f"""
-    SELECT doc_id, {_simhash16_sql()} AS simhash FROM documents
+    SELECT doc_id, {_simhash16_sql()} AS simhash,
+           {_simhash64_sql()} AS simhash64
+    FROM documents
     ORDER BY doc_id
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (unigram votes on portable hash
-    bits) — near-dups differ in few bits; Hamming-ball blocking rides
-    on top."""
+    """SimHash per document (unigram votes on portable hash bits) —
+    near-dups differ in few bits; Hamming-ball blocking rides on top.
+    Both widths in one row: the 16-bit continuity sketch and the
+    production 64-bit one (4 stacked 16-bit lanes, seeds 0-3), each
+    hash-verified bit-for-bit."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", simhash16("text").alias("simhash")
+        "doc_id",
+        simhash16("text").alias("simhash"),
+        simhash64("text").alias("simhash64"),
     ).orderBy("doc_id")
 
 

@@ -84,6 +84,31 @@ def test_simhash_hamming_locality(docs):
     assert ham_near < ham_far  # near-dup closer in Hamming space
 
 
+def test_simhash64_stacks_four_lanes(docs):
+    from grafeo_memory_spark.pipeline.dedup import simhash64
+
+    rows = {
+        r["doc_id"]: (r["s16"], r["s64"])
+        for r in docs.select(
+            "doc_id",
+            simhash16("text").alias("s16"),
+            simhash64("text").alias("s64"),
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    for s16, s64 in rows.values():
+        assert (s64 & mask) & 0xFFFF == s16  # lane 0 IS simhash16
+        assert -(1 << 63) <= s64 < 1 << 63  # proper two's-complement int64
+    # upper lanes carry real (decorrelated) signal, not copies
+    s16_1, s64_1 = rows[1]
+    lanes = [((s64_1 & mask) >> (16 * k)) & 0xFFFF for k in range(4)]
+    assert len(set(lanes)) > 1
+    # locality still holds at 64 bits (unsigned XOR view)
+    ham_near = bin((rows[1][1] ^ rows[4][1]) & mask).count("1")
+    ham_far = bin((rows[1][1] ^ rows[5][1]) & mask).count("1")
+    assert ham_near < ham_far
+
+
 def test_jaccard_join_ranks_duplicates_first(docs):
     pairs = jaccard_similarity_join(docs, "text", "doc_id").collect()
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
