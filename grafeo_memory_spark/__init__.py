@@ -23,6 +23,7 @@ __version__ = "0.1.0"
 # helpers, temporal hints) so `from grafeo_memory_spark import ...`
 # works the way `from grafeo_memory import ...` does.
 from grafeo_memory_spark.async_manager import AsyncMemoryEngine
+from grafeo_memory_spark.embedding import HttpEmbedder
 from grafeo_memory_spark.functions.scoring import (
     ScoreConfig,
     composite_score,
@@ -62,6 +63,7 @@ __all__ = [
     "ExecResult",
     "Extractor",
     "HashEmbedder",
+    "HttpEmbedder",
     "IdentityReranker",
     "ImageDescriber",
     "MemoryEngine",
