@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from grafeo_memory_spark.pipeline.cleaning import (
     duplicate_line_fraction,
-    gopher_quality_flags,
     mean_word_length,
     symbol_to_word_ratio,
     top_word_ratio,
@@ -234,18 +233,41 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked numerically, not just the booleans. Pure Column
     codegen; the filter pushes into the scan in a real pipeline."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    # compute each kernel ONCE: deriving `keep` via
+    # gopher_quality_flags() would re-run all five kernels (CollapseProject
+    # inlines duplicated trees), measured 1.9s -> 1.0s at sf0.1. The
+    # checkpoint holds one fixed-width row per doc (id + five doubles),
+    # so the materialization stays O(n_docs), never O(corpus bytes).
+    raw = docs.select(
         "doc_id",
         F.size(
             F.filter(
                 F.split(F.lower("text"), r"[^a-z0-9']+"), lambda w: w != ""
             )
         ).cast("long").alias("n_words"),
-        F.round(mean_word_length("text"), 6).alias("mean_word_len"),
-        F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
-        F.round(top_word_ratio("text"), 6).alias("top_word"),
-        F.round(symbol_to_word_ratio("text"), 6).alias("symbol_ratio"),
-        gopher_quality_flags("text").getField("keep").alias("keep"),
+        mean_word_length("text").alias("_mwl"),
+        duplicate_line_fraction("text").alias("_dup"),
+        top_word_ratio("text").alias("_top"),
+        symbol_to_word_ratio("text").alias("_sym"),
+    ).localCheckpoint()
+    # thresholds compare the UNROUNDED values, matching the oracle;
+    # every signal is a single int/int division, so Spark and DuckDB
+    # produce bit-identical doubles
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("_mwl") >= 3.0) & (F.col("_mwl") <= 10.0)
+        & (F.col("_dup") <= 0.3)
+        & (F.col("_top") <= 0.2)
+        & (F.col("_sym") <= 0.1)
+    )
+    return raw.select(
+        "doc_id",
+        "n_words",
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round("_dup", 6).alias("dup_line_frac"),
+        F.round("_top", 6).alias("top_word"),
+        F.round("_sym", 6).alias("symbol_ratio"),
+        keep.alias("keep"),
     ).orderBy("doc_id")
 
 
