@@ -79,6 +79,46 @@ class TestJoinStrategies:
         assert plan.count("Exchange hashpartitioning") <= 2
 
 
+class TestCorpusOpPlans:
+    def test_stratified_sample_is_map_only(self, spark):
+        """The deterministic Bernoulli sample is a pure filter — zero
+        exchanges, so at 100 TB it runs at scan speed with the filter
+        in the same stage as the read."""
+        from grafeo_memory_spark.pipeline.sampling import stratified_sample
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(
+            stratified_sample(
+                docs, "source", {"src0": 0.5}, id_col="doc_id"
+            )
+        )
+        assert "Exchange" not in plan
+
+    def test_mixture_sample_apply_is_map_only(self, spark):
+        """After the |domains|-row solve, the applied sample must stay
+        a map-only filter over the corpus."""
+        from grafeo_memory_spark.pipeline.sampling import mixture_sample
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(
+            mixture_sample(
+                docs, "source", {"src0": 0.6, "src1": 0.4}, id_col="doc_id"
+            )
+        )
+        assert "Exchange" not in plan
+
+    def test_span_dedup_keyed_joins_only(self, spark):
+        """Global span dedup is keyed shuffles end to end: first-
+        occurrence election and the removed-position anti-join, never a
+        pair blowup."""
+        from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(dedup_spans_global(docs, "text", "doc_id"))
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
+
+
 class TestFuzzyDedup:
     def test_near_dedup_no_cartesian_and_anti_join_keep(self, spark):
         """The end-to-end fuzzy dedup must stay bucketed: candidate
