@@ -109,6 +109,27 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
               f"tokens={r['n_tokens']} quality={r['quality']} "
               f"simhash={r['simhash']:#06x}")
 
+    # the whole recipe as ONE call: clean → quality → exact → fuzzy →
+    # decontaminate → mixture, with per-stage accounting
+    from grafeo_memory_spark.pipeline.corpus import (
+        CorpusRecipe,
+        build_training_corpus,
+    )
+
+    final, report = build_training_corpus(
+        docs,
+        benchmark=bench,
+        bench_text_col="prompt",
+        recipe=CorpusRecipe(min_words=5,
+                            mixture={"src0": 0.5, "src1": 0.5}),
+        count_stages=True,
+    )
+    print("\ncomposed recipe:")
+    for stage in report.stages:
+        before, after = report.rows[stage]
+        print(f"  {stage:15s} {before} -> {after}")
+    print("final corpus:", final.count(), "docs")
+
 
 if __name__ == "__main__":
     main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

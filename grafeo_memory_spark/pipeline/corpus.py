@@ -1,0 +1,155 @@
+"""Composed training-corpus construction: the canonical LLM-data
+recipe — clean → quality-filter → exact dedup → fuzzy dedup → span
+dedup → decontaminate → mixture-sample — as ONE configurable call with
+per-stage accounting.
+
+Each stage is the already-tested operator from its own module
+(`cleaning` / `dedup` / `decontamination` / `sampling`); this layer
+only sequences them and records what each stage did. The composition
+matters at 100 TB because stage ORDER is a cost decision:
+
+- cheap map-only stages (cleaning, quality flags) run FIRST so every
+  later shuffle touches fewer bytes;
+- exact dedup (one hash shuffle) runs before fuzzy dedup (shingle
+  explode + band join) so the expensive sketch never sees verbatim
+  copies;
+- decontamination's broadcast anti-join and the mixture sample's
+  map-only filter run LAST, on the smallest corpus.
+
+Laziness contract: with ``count_stages=False`` (the default) the whole
+recipe composes into Spark plans with ZERO driver-side actions besides
+the mixture solve's |domains|-row aggregate — call it, then write the
+result once. ``count_stages=True`` adds one count() action per stage
+boundary for the accounting report (an extra pass per stage — the
+explain/audit mode, not the production path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.cleaning import (
+    gopher_quality_flags,
+    mask_pii,
+    normalize_whitespace,
+    remove_urls,
+    strip_html,
+)
+from grafeo_memory_spark.pipeline.decontamination import decontaminate
+from grafeo_memory_spark.pipeline.dedup import (
+    dedup_spans_global,
+    exact_dedup,
+    near_dedup,
+)
+from grafeo_memory_spark.pipeline.sampling import mixture_sample
+
+__all__ = ["CorpusRecipe", "StageReport", "build_training_corpus"]
+
+
+@dataclass
+class CorpusRecipe:
+    """Which stages run and with what knobs. Every stage is optional;
+    the defaults mirror the published C4/Gopher/GPT-3 settings the
+    individual operators document."""
+
+    clean: bool = True                 # HTML strip + URL removal + PII mask
+    quality: bool = True               # Gopher rule family
+    min_words: int = 50
+    exact: bool = True                 # content-hash dedup
+    fuzzy: bool = True                 # MinHash/LSH + components
+    jaccard_threshold: float = 0.5
+    spans: bool = False                # C4 global span dedup (line corpora)
+    span: int = 3
+    span_sep: str = "\n"
+    decontaminate: bool = True         # needs a benchmark DataFrame
+    ngram: int = 13
+    mixture: dict | None = None        # {domain: weight} over domain_col
+    domain_col: str = "source"
+    salt: int = 0
+
+
+@dataclass
+class StageReport:
+    """Per-stage accounting: rows in/out when counting is on, always
+    the stage list actually executed (order matters for audits)."""
+
+    stages: list[str] = field(default_factory=list)
+    rows: dict[str, tuple[int | None, int | None]] = field(
+        default_factory=dict
+    )
+
+    def record(
+        self, name: str, before: int | None, after: int | None
+    ) -> None:
+        self.stages.append(name)
+        self.rows[name] = (before, after)
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
+    recipe: CorpusRecipe | None = None,
+    count_stages: bool = False,
+) -> tuple[DataFrame, StageReport]:
+    """Run the configured corpus recipe; returns (result, report).
+    The result preserves ``docs``' schema (text rewritten in place by
+    the cleaning/span stages)."""
+    r = recipe or CorpusRecipe()
+    report = StageReport()
+    cur = docs
+
+    def step(name: str, nxt: DataFrame) -> DataFrame:
+        nonlocal cur
+        before = cur.count() if count_stages else None
+        after = nxt.count() if count_stages else None
+        report.record(name, before, after)
+        return nxt
+
+    if r.clean:
+        cleaned = normalize_whitespace(
+            mask_pii(remove_urls(strip_html(F.col(text_col))))
+        )
+        cur = step("clean", cur.withColumn(text_col, cleaned))
+    if r.quality:
+        flags = gopher_quality_flags(F.col(text_col), min_words=r.min_words)
+        cur = step("quality", cur.where(flags.getField("keep")))
+    if r.exact:
+        cur = step("exact_dedup", exact_dedup(cur, text_col, id_col))
+    if r.fuzzy:
+        cur = step(
+            "fuzzy_dedup",
+            near_dedup(
+                cur, text_col, id_col,
+                jaccard_threshold=r.jaccard_threshold,
+            ),
+        )
+    if r.spans:
+        cur = step(
+            "span_dedup",
+            dedup_spans_global(
+                cur, text_col, id_col, span=r.span, sep=r.span_sep
+            ),
+        )
+    if r.decontaminate and benchmark is not None:
+        cur = step(
+            "decontaminate",
+            decontaminate(
+                cur, benchmark, text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col, n=r.ngram,
+            ),
+        )
+    if r.mixture:
+        cur = step(
+            "mixture_sample",
+            mixture_sample(
+                cur, r.domain_col, r.mixture, id_col=id_col, salt=r.salt
+            ),
+        )
+    return cur, report

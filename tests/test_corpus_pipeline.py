@@ -1,0 +1,100 @@
+"""Composed corpus recipe: stage sequencing, schema preservation,
+determinism across reruns, stage toggles, and the accounting report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.pipeline.corpus import (
+    CorpusRecipe,
+    build_training_corpus,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = []
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field toward the river ") * 3
+    for i in range(20):
+        rows.append((i, f"doc {i} " + body + f"tail {i}", "web"))
+    rows.append((100, rows[0][1], "web"))          # exact dup of doc 0
+    # near dup of doc 1: single changed word → ~0.95 jaccard, collides
+    # in a band under the fixed deterministic hashes
+    rows.append((101, rows[1][1].replace("tail 1", "tail x"), "web"))
+    rows.append((102, "<b>short</b>", "books"))    # fails min_words
+    books_body = ("an entirely different manuscript about maritime "
+                  "navigation celestial charts and the careful keeping "
+                  "of logbooks aboard long voyages across the sea ") * 3
+    rows.append((103, books_body, "books"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestBuildTrainingCorpus:
+    def test_full_recipe_runs_and_preserves_schema(self, spark, corpus):
+        bench = spark.createDataFrame(
+            [("held out benchmark prompt that matches nothing",)],
+            ["prompt"],
+        )
+        out, report = build_training_corpus(
+            corpus,
+            benchmark=bench,
+            bench_text_col="prompt",
+            recipe=CorpusRecipe(min_words=10, mixture={"web": 0.7,
+                                                       "books": 0.3}),
+            count_stages=True,
+        )
+        assert out.columns == ["doc_id", "text", "source"]
+        assert report.stages == [
+            "clean", "quality", "exact_dedup", "fuzzy_dedup",
+            "decontaminate", "mixture_sample",
+        ]
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 100 not in ids          # exact dup dropped
+        assert 101 not in ids          # near dup dropped
+        assert 102 not in ids          # quality-failed
+        # counts recorded and monotone non-increasing
+        ns = [report.rows[s] for s in report.stages]
+        assert all(b is not None and a is not None for b, a in ns)
+        assert all(a <= b for b, a in ns)
+
+    def test_stage_toggles(self, spark, corpus):
+        out, report = build_training_corpus(
+            corpus,
+            recipe=CorpusRecipe(
+                clean=False, quality=False, fuzzy=False,
+                decontaminate=False,
+            ),
+        )
+        assert report.stages == ["exact_dedup"]
+        assert out.count() == corpus.count() - 1  # only the exact dup
+
+    def test_deterministic_across_reruns(self, spark, corpus):
+        recipe = CorpusRecipe(min_words=10,
+                              mixture={"web": 0.8, "books": 0.2})
+        a, _ = build_training_corpus(corpus, recipe=recipe)
+        b, _ = build_training_corpus(corpus, recipe=recipe)
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_decontamination_drops_benchmark_hits(self, spark, corpus):
+        # benchmark = a 13-word verbatim window from doc 3
+        window = " ".join(
+            corpus.where(F.col("doc_id") == 3)
+            .collect()[0]["text"].split()[5:18]
+        )
+        bench = spark.createDataFrame([(window,)], ["prompt"])
+        out, _ = build_training_corpus(
+            corpus, benchmark=bench, bench_text_col="prompt",
+            recipe=CorpusRecipe(min_words=10, fuzzy=False),
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 3 not in ids
+
+    def test_no_stage_counts_by_default(self, spark, corpus):
+        _, report = build_training_corpus(
+            corpus, recipe=CorpusRecipe(decontaminate=False)
+        )
+        assert all(v == (None, None) for v in report.rows.values())
