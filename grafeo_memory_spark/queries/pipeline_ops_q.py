@@ -73,20 +73,32 @@ def _simhash16_sql(seed: int = 0) -> str:
     return " + ".join(bits)
 
 
+def _hash2_sql(expr: str) -> str:
+    """Hex chars 16-30 of the seed-0 md5 — the second 60-bit draw the
+    64-bit SimHash reads its top nibble of vote bits from."""
+    return f"('0x' || substr(md5({expr} || '#0'), 16, 15))::BIGINT"
+
+
 def _simhash64_sql() -> str:
-    """Four stacked 16-bit lanes (seeds 0-3), lane k at bits
-    16k..16k+15, top lane reinterpreted as signed two's complement —
-    mirrors pipeline.dedup.simhash64 exactly (a plain shift of lane 3
-    overflows BIGINT in both engines)."""
-    l3 = f"({_simhash16_sql(3)})"
-    top = (
-        f"(CASE WHEN {l3} >= 32768 THEN {l3} - 65536 ELSE {l3} END)::BIGINT"
-        f" * {1 << 48}"
-    )
-    rest = " + ".join(
-        f"({_simhash16_sql(k)})::BIGINT * {1 << (16 * k)}" for k in (2, 1, 0)
-    )
-    return f"{top} + {rest}"
+    """64 vote bits from ONE md5 per gram: bits 0..59 from hex chars
+    1-15 (so bits 0..15 coincide with the 16-bit sketch), bits 60..63
+    from hex chars 16-30; bit 63's weight is the signed two's-
+    complement minimum (a plain 1<<63 overflows BIGINT in both
+    engines) — mirrors pipeline.dedup.simhash64 exactly."""
+    words = _shingles_sql(1)
+    terms = []
+    for b in range(64):
+        src = _hash_sql("w", 0) if b < 60 else _hash2_sql("w")
+        bit = 1 << (b if b < 60 else b - 60)
+        vote = (
+            f"list_sum(list_transform({words}, "
+            f"w -> CASE WHEN ({src} & {bit}) > 0 THEN 1 ELSE -1 END))"
+        )
+        weight = str(1 << b) if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"(CASE WHEN {vote} > 0 THEN {weight}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 _WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"

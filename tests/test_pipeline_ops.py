@@ -84,7 +84,7 @@ def test_simhash_hamming_locality(docs):
     assert ham_near < ham_far  # near-dup closer in Hamming space
 
 
-def test_simhash64_stacks_four_lanes(docs):
+def test_simhash64_extends_simhash16(docs):
     from grafeo_memory_spark.pipeline.dedup import simhash64
 
     rows = {
@@ -99,7 +99,7 @@ def test_simhash64_stacks_four_lanes(docs):
     for s16, s64 in rows.values():
         assert (s64 & mask) & 0xFFFF == s16  # lane 0 IS simhash16
         assert -(1 << 63) <= s64 < 1 << 63  # proper two's-complement int64
-    # upper lanes carry real (decorrelated) signal, not copies
+    # upper bit-lanes carry real (decorrelated) signal, not copies
     s16_1, s64_1 = rows[1]
     lanes = [((s64_1 & mask) >> (16 * k)) & 0xFFFF for k in range(4)]
     assert len(set(lanes)) > 1
