@@ -120,3 +120,29 @@ def test_betweenness_square_with_diagonal(spark):
     assert got[3] == pytest.approx(0.5 / 3, abs=1e-9)
     assert got[2] == pytest.approx(0.0, abs=1e-9)
     assert got[4] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_louvain_label_fixture_is_fresh(spark):
+    """The committed fixtures/sf0.01/louvain_labels.parquet must match
+    a fresh deterministic run — the driver's structural oracle reads
+    the file DuckDB-side, so a code change to louvain() without a
+    fixture regeneration would silently break the correctness row."""
+    from pyspark.sql import functions as F
+
+    from grafeo_memory_spark.graph.algorithms import louvain
+    from grafeo_memory_spark.sources.tables import load_fixture
+
+    stored = {
+        (r["node_id"], r["community"])
+        for r in spark.read.parquet(
+            "/root/repo/fixtures/sf0.01/louvain_labels.parquet"
+        ).collect()
+    }
+    edges = load_fixture(spark, "/root/testdata/sf0.01", "edges").where(
+        F.col("edge_type") == "RELATION"
+    )
+    fresh = {
+        (r["node_id"], r["community"])
+        for r in louvain(edges, max_iter=10).collect()
+    }
+    assert stored == fresh
