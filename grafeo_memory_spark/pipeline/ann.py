@@ -38,6 +38,9 @@ __all__ = [
     "ivf_train",
     "quantize_int8",
     "dequantize_int8",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -279,4 +282,190 @@ def dequantize_int8(qstruct: Column | str) -> Column:
     s = F.col(qstruct) if isinstance(qstruct, str) else qstruct
     return F.transform(
         s["q"], lambda x: x.cast("double") * s["scale"]
+    )
+
+
+# --------------------------------------------------------------- PQ
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length double arrays, one fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _subspaces(vec: Column, m: int, dims: int) -> Column:
+    """Split a dims-length vector into m contiguous subvectors:
+    array of structs (j, sub)."""
+    w = dims // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(vec, j * w + 1, w).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_train(
+    table: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Product-quantizer codebooks (Jégou et al. 2011): split the
+    vector into ``m`` contiguous subspaces and Lloyd-train ``k``
+    centroids per subspace. Returns ``codebooks[j][c]`` — driver-sized
+    (m·k·(dims/m) floats) by construction.
+
+    Scale shape: ALL subspaces train in the same pass — one explode to
+    (id, j, sub), a codegen argmin assignment against the broadcast
+    codebook literal, and one (j, c, dim) mean groupBy per Lloyd round.
+    Cost per round is a table scan regardless of m. Deterministic: seeds
+    are the lowest-id rows' subvectors, no RNG, empty cells keep their
+    centroid."""
+    dims = len(table.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    seed_rows = (
+        table.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, have {len(seed_rows)}")
+    w = dims // m
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r["v"][j * w : (j + 1) * w]] for r in seed_rows]
+        for j in range(m)
+    ]
+    subs = table.select(
+        F.explode(_subspaces(F.col(vec_col), m, dims)).alias("s")
+    ).select(F.col("s.j").alias("j"), F.col("s.sub").alias("sub"))
+    for _ in range(iterations):
+        # argmin over the per-subspace codebook, dispatched on j —
+        # all inside one projection, no shuffle before the mean
+        cand = F.array(
+            *[
+                F.struct(
+                    F.when(
+                        F.col("j") == j,
+                        _sq_l2(
+                            F.col("sub"),
+                            F.array(*[F.lit(x) for x in books[j][c]]),
+                        ),
+                    )
+                    .otherwise(F.lit(float("inf")))
+                    .alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for j in range(m)
+                for c in range(k)
+            ]
+        )
+        assigned = subs.select(
+            "j", "sub", F.array_min(cand)["c"].alias("c")
+        )
+        means = (
+            assigned.select("j", "c", F.posexplode("sub").alias("dim", "x"))
+            .groupBy("j", "c", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("j", "c")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm")
+            )
+            .select(
+                "j", "c",
+                F.transform(F.col("dm"), lambda s: s["mu"]).alias("cent"),
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["j"]][r["c"]] = [float(x) for x in r["cent"]]
+    return books
+
+
+def pq_encode(
+    table: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes (nearest centroid
+    per subspace) → (id, code: array<tinyint>). dims·8 bytes → m bytes
+    per vector; pure codegen argmin, one scan, no shuffle."""
+    m, k = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+    code = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_l2(
+                                F.slice(F.col(vec_col), j * w + 1, w),
+                                F.array(*[F.lit(x) for x in codebooks[j][c]]),
+                            ).alias("d"),
+                            F.lit(c).alias("c"),
+                        )
+                        for c in range(k)
+                    ]
+                )
+            )["c"].cast("tinyint")
+            for j in range(m)
+        ]
+    )
+    return table.select(F.col(id_col).alias("id"), code.alias("code"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the m×|codebook| lookup
+    table of squared distances from the query's subvectors to every
+    centroid is built driver-side and inlined as a literal, so scoring
+    a vector is m array lookups + a sum — no vector arithmetic touches
+    the table at all. Output (id, dist), ascending (smaller = closer).
+
+    This is the memory-bound 10⁹-vector scan: m bytes read per
+    candidate instead of dims·8, with TakeOrderedAndProject on top —
+    map-only, no shuffle."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[j * w + t] - cent[t]) ** 2 for t in range(w)
+            )
+            for cent in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col("code"),
+            lambda row, c: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        encoded.select("id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(k)
     )

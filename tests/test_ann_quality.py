@@ -140,3 +140,100 @@ class TestInt8Quantization:
         ).collect()[0]
         assert out["qs"]["scale"] == 0.0
         assert list(out["back"]) == [0.0, 0.0, 0.0]
+
+
+class TestProductQuantization:
+    def test_codes_are_m_bytes_and_deterministic(self, emb):
+        from grafeo_memory_spark.pipeline.ann import pq_encode, pq_train
+
+        books = pq_train(emb, m=4, k=16, iterations=1)
+        assert len(books) == 4 and len(books[0]) == 16
+        codes = pq_encode(emb, books).collect()
+        assert all(len(r["code"]) == 4 for r in codes)
+        assert all(0 <= c < 16 for r in codes for c in r["code"])
+        again = pq_encode(emb, pq_train(emb, m=4, k=16, iterations=1)).collect()
+        assert sorted(map(tuple, ((r["id"], tuple(r["code"])) for r in codes))) \
+            == sorted(map(tuple, ((r["id"], tuple(r["code"])) for r in again)))
+
+    def test_adc_recall_on_clustered_data(self, spark):
+        """Planted clusters: inter-cluster distance dominates
+        quantization error, so ADC must retrieve the query's cluster.
+        (The uniform fixture embeddings are near-equidistant — the
+        known hard case where any m=4 code is uninformative; the
+        distance-ratio test below covers that regime.)"""
+        from grafeo_memory_spark.pipeline.ann import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        rows = []
+        for cl in range(8):
+            base = [float((cl * 7 + d * 3) % 13) for d in range(16)]
+            for i in range(12):
+                rows.append(
+                    (cl * 100 + i,
+                     [x + 0.05 * ((i * 31 + d) % 5) for d, x in
+                      enumerate(base)])
+                )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = pq_train(df, m=4, k=16, iterations=3)
+        encoded = pq_encode(df, books).localCheckpoint()
+        qv = rows[0][1]  # a cluster-0 member
+        approx = {
+            r["id"] for r in pq_adc_topk(encoded, books, qv, k=10).collect()
+        }
+        assert approx <= {i for i in range(12)}  # all from cluster 0
+        assert 0 in approx
+
+    def test_adc_distance_ratio_vs_exact_l2(self, emb):
+        """On the uniform fixture, assert quality as a distance ratio:
+        the TRUE distance of ADC's top-10 must be within 1.5x of the
+        exact top-10's mean — the standard ANN quality metric when
+        neighbors are near-equidistant and set-recall is meaningless."""
+        from grafeo_memory_spark.pipeline.ann import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        qv = _query_vec(emb, vid=0)
+        books = pq_train(emb, m=4, k=16, iterations=3)
+        encoded = pq_encode(emb, books).localCheckpoint()
+        approx_ids = [
+            r["id"] for r in pq_adc_topk(encoded, books, qv, k=10).collect()
+        ]
+        lit = F.array(*[F.lit(float(x)) for x in qv])
+        d = emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("embedding"), lit,
+                           lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        true_d = {r["vec_id"]: r["d"] for r in d.collect()}
+        exact10 = sorted(true_d.values())[:10]
+        approx_mean = sum(true_d[i] for i in approx_ids) / len(approx_ids)
+        assert 0 in approx_ids  # the query vector itself must be found
+        assert approx_mean <= 1.5 * (sum(exact10) / 10.0)
+
+    def test_lloyd_rounds_tighten_quantization(self, emb):
+        from grafeo_memory_spark.pipeline.ann import pq_encode, pq_train
+
+        def distortion(iters):
+            books = pq_train(emb, m=4, k=16, iterations=iters)
+            codes = {r["id"]: list(r["code"])
+                     for r in pq_encode(emb, books).collect()}
+            rows = emb.collect()
+            w = len(books[0][0])
+            tot = 0.0
+            for r in rows:
+                v = list(r["embedding"])
+                for j, c in enumerate(codes[r["vec_id"]]):
+                    cent = books[j][c]
+                    tot += sum((v[j * w + t] - cent[t]) ** 2
+                               for t in range(w))
+            return tot
+
+        assert distortion(3) <= distortion(0) + 1e-9
