@@ -56,6 +56,21 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"  mean squared reconstruction error: {fidelity:.2e}")
 
+    # product quantization: 64 doubles → 4 bytes per vector; top-k by
+    # asymmetric distance (query-side lookup table, no vector math on
+    # the table side) — the memory-bound billion-vector scan
+    from grafeo_memory_spark.pipeline.ann import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=4, k=16, iterations=2)
+    codes = pq_encode(emb, books)
+    print("\nPQ ADC top-5 (4-byte codes):")
+    for r in pq_adc_topk(codes, books, qv, k=5).collect():
+        print(f"  vec {r['id']}: dist {r['dist']:.4f}")
+
 
 if __name__ == "__main__":
     main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
