@@ -213,18 +213,31 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = louvain(edges, max_iter=10)
     out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
-    # repartition(1), not coalesce(1): coalesce collapses the whole
-    # upstream join into a single task; the shuffle keeps the build
-    # parallel and only the kB-sized file write is single-task
-    labels.repartition(1).write.mode("overwrite").parquet(out_dir)
-    # stable filenames: reruns of the deterministic assignment must not
-    # churn the committed fixture (the oracle globs *.parquet)
-    for f in os.listdir(out_dir):
-        p = os.path.join(out_dir, f)
-        if f.startswith("part-"):
-            os.replace(p, os.path.join(out_dir, "labels.parquet"))
-        elif not f.endswith(".parquet"):
-            os.remove(p)
+    fresh = {
+        (r["node_id"], r["community"]) for r in labels.collect()
+    }
+    try:
+        stored = {
+            (r["node_id"], r["community"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    except Exception:
+        stored = None
+    if stored != fresh:
+        # repartition(1), not coalesce(1): coalesce collapses the whole
+        # upstream join into a single task; the shuffle keeps the build
+        # parallel and only the kB-sized file write is single-task.
+        # Content-compared first: parquet bytes are not rerun-stable
+        # even for identical rows, and an unconditional rewrite would
+        # churn the committed fixture on every run.
+        labels.repartition(1).write.mode("overwrite").parquet(out_dir)
+        # stable filenames: the oracle globs *.parquet
+        for f in os.listdir(out_dir):
+            p = os.path.join(out_dir, f)
+            if f.startswith("part-"):
+                os.replace(p, os.path.join(out_dir, "labels.parquet"))
+            elif not f.endswith(".parquet"):
+                os.remove(p)
     q = round(modularity(edges, labels), 6)
     return (
         labels.groupBy("community")
