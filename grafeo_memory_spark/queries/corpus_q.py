@@ -25,8 +25,10 @@ from grafeo_memory_spark.pipeline.cleaning import (
 from grafeo_memory_spark.pipeline.decontamination import contamination_matches
 from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
 from grafeo_memory_spark.pipeline.sampling import (
+    length_bucket,
     mixture_sample,
     stratified_sample,
+    take_per_key,
 )
 from grafeo_memory_spark.queries import query
 from grafeo_memory_spark.queries.pipeline_ops_q import _hash_sql, _shingles_sql
@@ -221,7 +223,10 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND {_MWL_SQL} BETWEEN 3.0 AND 10.0
             AND {_DUP_LINE_SQL} <= 0.3
             AND {_TOP_WORD_SQL} <= 0.2
-            AND {_SYM_SQL} <= 0.1) AS keep
+            AND {_SYM_SQL} <= 0.1) AS keep,
+           (CASE WHEN n_chars < 200 THEN 0
+                 WHEN n_chars < 400 THEN 1
+                 ELSE 2 END) AS len_bucket
     FROM documents ORDER BY doc_id
     """,
 )
@@ -231,7 +236,10 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-line fraction, top-word repetition ratio,
     symbol-to-word ratio, and the composed keep verdict — every kernel
     value-checked numerically, not just the booleans. Pure Column
-    codegen; the filter pushes into the scan in a real pipeline."""
+    codegen; the filter pushes into the scan in a real pipeline.
+    Also carries `pipeline/sampling.length_bucket` over n_chars
+    (boundaries 200/400) so the bucketing op gets a hash-verified row
+    without its own registry slot."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     # compute each kernel ONCE: deriving `keep` via
     # gopher_quality_flags() would re-run all five kernels (CollapseProject
@@ -240,6 +248,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the materialization stays O(n_docs), never O(corpus bytes).
     raw = docs.select(
         "doc_id",
+        "n_chars",
         F.size(
             F.filter(
                 F.split(F.lower("text"), r"[^a-z0-9']+"), lambda w: w != ""
@@ -268,36 +277,54 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_top", 6).alias("top_word"),
         F.round("_sym", 6).alias("symbol_ratio"),
         keep.alias("keep"),
+        length_bucket("n_chars", [200, 400]).alias("len_bucket"),
     ).orderBy("doc_id")
 
 
 @query(
     "stratified_sample",
     oracle=f"""
-    SELECT doc_id, source FROM documents
+    SELECT 'strat' AS kind, doc_id, source FROM documents
     WHERE {_u_sql(7)} <
       (CASE source WHEN 'src0' THEN 0.5
                    WHEN 'src1' THEN 0.25
                    WHEN 'src2' THEN 0.125
                    ELSE 0.0 END)
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'cap' AS kind, doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY kind, doc_id
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum Bernoulli sample
+    """Two deterministic selection ops in one driver row:
+
+    'strat' — per-stratum Bernoulli sample
     (`pipeline/sampling.stratified_sample`): a row is kept iff the
     first 8 hex digits of md5(id:salt) fall under fraction·16⁸ — a pure
     function of the row, so reruns/retries/different partitionings all
     select the same rows (the resumability property a 100 TB pipeline
     needs, and exactly why the oracle can replay the selection
     bit-for-bit). Map-only: no shuffle, filter composes with the scan.
-    Strata absent from the fraction map drop (sampleBy semantics)."""
+    Strata absent from the fraction map drop (sampleBy semantics).
+
+    'cap' — deterministic per-key cap (`pipeline/sampling.take_per_key`,
+    k=3 per source): rows ordered within each key by md5(id:salt), the
+    stable pseudo-random balance cap. One shuffle on the key — the same
+    shuffle a balanced shard write needs anyway."""
     docs = load_table(spark, sf_dir, "documents")
-    out = stratified_sample(
+    strat = stratified_sample(
         docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.125},
         id_col="doc_id", salt=7,
-    )
-    return out.select("doc_id", "source").orderBy("doc_id")
+    ).select(F.lit("strat").alias("kind"), "doc_id", "source")
+    cap = take_per_key(
+        docs, "source", 3, id_col="doc_id", salt=7
+    ).select(F.lit("cap").alias("kind"), "doc_id", "source")
+    return strat.unionByName(cap).orderBy("kind", "doc_id")
 
 
 @query(
