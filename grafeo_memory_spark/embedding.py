@@ -82,11 +82,23 @@ class HttpEmbedder:
             )
             try:
                 with urllib.request.urlopen(req, timeout=self._timeout) as r:
-                    payload = json.loads(r.read().decode())
-                items = sorted(payload["data"], key=lambda d: d["index"])
-                vecs = [
-                    [float(x) for x in item["embedding"]] for item in items
-                ]
+                    raw = r.read().decode(errors="replace")
+                try:
+                    payload = json.loads(raw)
+                    items = sorted(payload["data"], key=lambda d: d["index"])
+                    vecs = [
+                        [float(x) for x in item["embedding"]]
+                        for item in items
+                    ]
+                except (ValueError, KeyError, TypeError) as exc:
+                    # a 200 with a non-conforming body (HTML error page,
+                    # {"error": ...} envelope) is a caller-visible
+                    # endpoint bug, not a transient — no retry
+                    raise RuntimeError(
+                        f"embedding endpoint {self._url} returned a "
+                        f"malformed 200 response: {exc!r}; body starts "
+                        f"{raw[:200]!r}"
+                    ) from exc
                 if len(vecs) != len(texts):
                     raise RuntimeError(
                         f"embedding endpoint returned {len(vecs)} vectors "

@@ -210,9 +210,12 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
     ONE aggregation job: per-community degree and intra-row counts in
     the same groupBy — 2m, the intra-edge total, and the degree term
     all fall out of the |communities|-row collect (the earlier version
-    ran three jobs: a count plus two separate aggregates). Assumes
-    ``labels`` covers every edge endpoint, which every producer here
-    (louvain/LPA/connected components/singleton maps) guarantees."""
+    ran three jobs: a count plus two separate aggregates). ``labels``
+    must cover every edge endpoint — every producer here (louvain/LPA/
+    connected components/singleton maps) guarantees it, and the same
+    pass ENFORCES it: the joins are outer, so an uncovered endpoint
+    groups under a NULL community and raises instead of silently
+    computing Q against the wrong 2m."""
     und = _undirected(edges)
     lab = labels.select("node_id", "community")
     rows = (
@@ -220,11 +223,13 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
             lab.withColumnRenamed("node_id", "src")
             .withColumnRenamed("community", "ca"),
             "src",
+            "left",
         )
         .join(
             lab.withColumnRenamed("node_id", "dst")
             .withColumnRenamed("community", "cb"),
             "dst",
+            "left",
         )
         .groupBy("ca")
         .agg(
@@ -232,9 +237,17 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
             F.sum(
                 F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
             ).alias("intra2"),
+            F.sum(
+                F.when(F.col("cb").isNull(), 1).otherwise(0)
+            ).alias("dst_uncovered"),
         )
         .collect()
     )
+    if any(r["ca"] is None or (r["dst_uncovered"] or 0) > 0 for r in rows):
+        raise ValueError(
+            "modularity: labels must cover every edge endpoint "
+            "(found edges with unlabeled src or dst)"
+        )
     two_m = float(sum(r["deg_c"] for r in rows))
     if two_m == 0:
         return 0.0

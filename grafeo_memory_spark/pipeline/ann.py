@@ -330,7 +330,14 @@ def pq_train(
     Cost per round is a table scan regardless of m. Deterministic: seeds
     are the lowest-id rows' subvectors, no RNG, empty cells keep their
     centroid."""
-    dims = len(table.select(vec_col).first()[0])
+    if not 2 <= k <= 256:
+        raise ValueError(f"k must be in [2, 256] (one code byte), got {k}")
+    head = table.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "pq_train needs a non-empty table with non-null vectors"
+        )
+    dims = len(head[0])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     seed_rows = (
@@ -401,25 +408,36 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte codes (nearest centroid
     per subspace) → (id, code: array<tinyint>). dims·8 bytes → m bytes
-    per vector; pure codegen argmin, one scan, no shuffle."""
+    per vector; pure codegen argmin, one scan, no shuffle.
+
+    Byte encoding: the centroid index is stored OFFSET by −128
+    (index c → byte c−128), so the full k=256 standard codebook fits a
+    signed tinyint — a plain cast would overflow under ANSI mode for
+    any c ≥ 128. ``pq_adc_topk`` undoes the offset; treat the code
+    column as opaque."""
     m, k = len(codebooks), len(codebooks[0])
     w = len(codebooks[0][0])
     code = F.array(
         *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_l2(
-                                F.slice(F.col(vec_col), j * w + 1, w),
-                                F.array(*[F.lit(x) for x in codebooks[j][c]]),
-                            ).alias("d"),
-                            F.lit(c).alias("c"),
-                        )
-                        for c in range(k)
-                    ]
-                )
-            )["c"].cast("tinyint")
+            (
+                F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _sq_l2(
+                                    F.slice(F.col(vec_col), j * w + 1, w),
+                                    F.array(
+                                        *[F.lit(x) for x in codebooks[j][c]]
+                                    ),
+                                ).alias("d"),
+                                F.lit(c).alias("c"),
+                            )
+                            for c in range(k)
+                        ]
+                    )
+                )["c"]
+                - F.lit(128)
+            ).cast("tinyint")
             for j in range(m)
         ]
     )
@@ -459,7 +477,8 @@ def pq_adc_topk(
         F.zip_with(
             lut_lit,
             F.col("code"),
-            lambda row, c: F.element_at(row, c.cast("int") + 1),
+            # undo pq_encode's −128 byte offset: byte → index c, 1-based
+            lambda row, c: F.element_at(row, c.cast("int") + 129),
         ),
         F.lit(0.0),
         lambda acc, d: acc + d,

@@ -19,9 +19,11 @@ matters at 100 TB because stage ORDER is a cost decision:
 Laziness contract: with ``count_stages=False`` (the default) the whole
 recipe composes into Spark plans with ZERO driver-side actions besides
 the mixture solve's |domains|-row aggregate — call it, then write the
-result once. ``count_stages=True`` adds one count() action per stage
-boundary for the accounting report (an extra pass per stage — the
-explain/audit mode, not the production path).
+result once. ``count_stages=True`` is the audit mode: each stage's
+output is ``localCheckpoint``-materialized and counted ONCE (the
+before-count reuses the previous stage's after-count), so an N-stage
+recipe costs N single-stage executions — never a re-run of the whole
+prefix per count.
 """
 
 from __future__ import annotations
@@ -104,11 +106,19 @@ def build_training_corpus(
     r = recipe or CorpusRecipe()
     report = StageReport()
     cur = docs
+    prev_count: int | None = docs.count() if count_stages else None
 
     def step(name: str, nxt: DataFrame) -> DataFrame:
-        nonlocal cur
-        before = cur.count() if count_stages else None
-        after = nxt.count() if count_stages else None
+        nonlocal prev_count
+        if count_stages:
+            # materialize so this count (and the next stage) executes
+            # only THIS stage's plan; the before-count is the previous
+            # stage's after-count — one count() per boundary, total
+            nxt = nxt.localCheckpoint()
+            before, after = prev_count, nxt.count()
+            prev_count = after
+        else:
+            before = after = None
         report.record(name, before, after)
         return nxt
 

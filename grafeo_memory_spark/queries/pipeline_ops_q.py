@@ -211,7 +211,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document (unigram votes on portable hash bits) —
     near-dups differ in few bits; Hamming-ball blocking rides on top.
     Both widths in one row: the 16-bit continuity sketch and the
-    production 64-bit one (4 stacked 16-bit lanes, seeds 0-3), each
+    production 64-bit one, whose vote bits all come from the single
+    seed-0 md5 per gram (hex chars 1-15 → bits 0..59, so bits 0..15
+    coincide with simhash16; chars 16-30 → bits 60..63), each
     hash-verified bit-for-bit."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(

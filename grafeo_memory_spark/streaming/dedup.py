@@ -104,45 +104,68 @@ class IncrementalDedupSink:
     shingle_n: int = 3
     compact_every: int = 8
 
-    def _versions(self) -> list[int]:
+    def _state_dirs(self) -> list[tuple[int, str]]:
+        """(id, dirname) for every live state dir: ``batch_id=N`` holds
+        batch N's survivor bands, ``compact_id=N`` holds the folded
+        bands of every batch ≤ N."""
         if not os.path.isdir(self.state_path):
             return []
-        return sorted(
-            int(d.split("=", 1)[1]) for d in os.listdir(self.state_path)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        )
+        out: list[tuple[int, str]] = []
+        for d in os.listdir(self.state_path):
+            for prefix in ("batch_id=", "compact_id="):
+                if d.startswith(prefix) and d[len(prefix):].isdigit():
+                    out.append((int(d[len(prefix):]), d))
+        return sorted(out)
+
+    def _versions(self) -> list[int]:
+        return sorted(v for v, _ in self._state_dirs())
 
     def _read_bands(
         self, spark: SparkSession, before: int | None = None
     ) -> DataFrame | None:
-        vs = self._versions()
+        dirs = self._state_dirs()
         if before is not None:
-            vs = [v for v in vs if v < before]
-        if not vs:
+            dirs = [(v, d) for v, d in dirs if v < before]
+        if not dirs:
             return None
+        # a crash between compaction's publish and its cleanup leaves a
+        # compact dir overlapping the originals — the union then holds
+        # duplicate band rows, which is harmless: every consumer is a
+        # semi-join or distinct over (band, band_hash, id)
         return spark.read.parquet(
-            *[os.path.join(self.state_path, f"batch_id={v}") for v in vs]
+            *[os.path.join(self.state_path, d) for _, d in dirs]
         )
 
     def _compact(self, spark: SparkSession, below: int) -> None:
-        """Fold the closed partitions (< ``below``) into one dir keyed
-        by the largest folded batch_id. O(state) I/O, but amortized:
-        it runs once per ``compact_every`` batches, and only when the
-        dir count — cheap to list — says so."""
-        vs = [v for v in self._versions() if v < below]
-        if len(vs) <= self.compact_every:
+        """Fold the closed dirs (< ``below``) into one ``compact_id=``
+        dir keyed by the largest folded id. O(state) I/O, amortized:
+        runs once per ``compact_every`` batches.
+
+        Crash-safe ordering: the merged fold is written to a tmp dir
+        and atomically renamed into place BEFORE any original is
+        removed — a crash at any point leaves either the originals
+        (publish not reached) or the published fold plus leftover
+        originals (duplicates, harmless per ``_read_bands``; removed by
+        the next fold). Nothing is ever deleted while it is the only
+        copy."""
+        dirs = [(v, d) for v, d in self._state_dirs() if v < below]
+        if len(dirs) <= self.compact_every:
+            return
+        maxv = dirs[-1][0]
+        target = os.path.join(self.state_path, f"compact_id={maxv}")
+        if os.path.exists(target):  # crash residue with the same high id
             return
         merged = spark.read.parquet(
-            *[os.path.join(self.state_path, f"batch_id={v}") for v in vs]
+            *[os.path.join(self.state_path, d) for _, d in dirs]
         )
         tmp = os.path.join(self.state_path, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        for v in vs:
+        os.rename(tmp, target)  # atomic publish
+        for _, d in dirs:
             shutil.rmtree(
-                os.path.join(self.state_path, f"batch_id={v}"),
-                ignore_errors=True,
+                os.path.join(self.state_path, d), ignore_errors=True
             )
-        os.rename(tmp, os.path.join(self.state_path, f"batch_id={vs[-1]}"))
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

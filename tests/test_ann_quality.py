@@ -150,10 +150,31 @@ class TestProductQuantization:
         assert len(books) == 4 and len(books[0]) == 16
         codes = pq_encode(emb, books).collect()
         assert all(len(r["code"]) == 4 for r in codes)
-        assert all(0 <= c < 16 for r in codes for c in r["code"])
+        # codes are centroid indices offset by -128 into a signed byte
+        assert all(0 <= c + 128 < 16 for r in codes for c in r["code"])
         again = pq_encode(emb, pq_train(emb, m=4, k=16, iterations=1)).collect()
         assert sorted(map(tuple, ((r["id"], tuple(r["code"])) for r in codes))) \
             == sorted(map(tuple, ((r["id"], tuple(r["code"])) for r in again)))
+
+    def test_large_codebook_codes_survive_byte_encoding(self, emb):
+        """k=200 (> 127) must round-trip through the signed-byte code
+        column — a plain tinyint cast of the index overflows under ANSI
+        mode; the -128 offset encoding is what makes the full k=256
+        standard codebook representable."""
+        from grafeo_memory_spark.pipeline.ann import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        books = pq_train(emb, m=4, k=200, iterations=0)
+        encoded = pq_encode(emb, books).localCheckpoint()
+        codes = encoded.collect()
+        assert {c + 128 for r in codes for c in r["code"]} <= set(range(200))
+        assert any(c + 128 > 127 for r in codes for c in r["code"])
+        qv = _query_vec(emb, vid=0)
+        top = pq_adc_topk(encoded, books, qv, k=3).collect()
+        assert top[0]["id"] == 0  # the query vector itself ranks first
 
     def test_adc_recall_on_clustered_data(self, spark):
         """Planted clusters: inter-cluster distance dominates
@@ -231,7 +252,7 @@ class TestProductQuantization:
             for r in rows:
                 v = list(r["embedding"])
                 for j, c in enumerate(codes[r["vec_id"]]):
-                    cent = books[j][c]
+                    cent = books[j][c + 128]  # undo the byte offset
                     tot += sum((v[j * w + t] - cent[t]) ** 2
                                for t in range(w))
             return tot

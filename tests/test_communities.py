@@ -360,3 +360,16 @@ class TestCommunityContext:
         (ref test_get_community_context_filters_by_user)."""
         eng = self._eng(spark)
         assert eng.get_community_context(["alice"], user_id="v").count() == 0
+
+
+def test_modularity_rejects_partial_label_coverage(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from grafeo_memory_spark.graph.algorithms import modularity
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    partial = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node_id long, community long"
+    )  # node 3 unlabeled
+    with _pytest.raises(ValueError, match="cover every edge endpoint"):
+        modularity(e, partial)

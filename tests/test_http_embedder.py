@@ -129,3 +129,27 @@ class TestHttpEmbedder:
         ).collect()
         assert rows and rows[0]["text"] == "network embedded fact"
         eng.close()
+
+    def test_malformed_200_surfaces_with_context(self, server):
+        _Handler.fail_next = []
+        # monkeypatch the handler to return junk on success path
+        orig = _Handler.do_POST
+
+        def junk(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            type(self).requests.append({"n_inputs": 0, "auth": None,
+                                        "path": self.path, "model": ""})
+            payload = b"<html>gateway error</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        _Handler.do_POST = junk
+        try:
+            emb = HttpEmbedder(server, backoff=0.01)
+            with pytest.raises(RuntimeError, match="malformed 200"):
+                emb.embed(["x"])
+            assert len(_Handler.requests) == 1  # endpoint bug: no retry
+        finally:
+            _Handler.do_POST = orig

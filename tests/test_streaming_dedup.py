@@ -151,10 +151,11 @@ class TestIncrementalNearDup:
             sink(_docs(spark, [(200 + i, T0 + i, text)]), i)
         dirs = [
             d for d in os.listdir(str(tmp_path / "state"))
-            if d.startswith("batch_id=")
+            if d.startswith(("batch_id=", "compact_id="))
         ]
         # closed partitions fold whenever more than compact_every pile up
         assert len(dirs) <= sink.compact_every + 2
+        assert any(d.startswith("compact_id=") for d in dirs)
         bands = sink.corpus_bands(spark)
         assert sorted(set(r["id"] for r in bands.collect())) == [
             200 + i for i in range(6)
@@ -163,3 +164,38 @@ class TestIncrementalNearDup:
         sink(_docs(spark, [(205, T0 + 5, texts[5])]), 5)
         ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
         assert ids == [200 + i for i in range(6)]
+
+    def test_compaction_crash_residue_is_harmless(self, spark, tmp_path):
+        """A crash between the fold's atomic publish and the original
+        dirs' removal leaves overlapping state (compact dir + folded
+        originals). Reads must tolerate the duplicate band rows and
+        dedup results must not change."""
+        import shutil
+
+        sink = IncrementalDedupSink(
+            survivors_path=str(tmp_path / "surv"),
+            state_path=str(tmp_path / "state"),
+            compact_every=2,
+        )
+        texts = [
+            f"fully distinct residue document {i} with tokens "
+            f"mu{i} nu{i} xi{i} omicron{i} pi{i}"
+            for i in range(4)
+        ]
+        for i, text in enumerate(texts):
+            sink(_docs(spark, [(300 + i, T0 + i, text)]), i)
+        state = tmp_path / "state"
+        compacts = [d for d in os.listdir(state)
+                    if d.startswith("compact_id=")]
+        assert compacts
+        # simulate the crash window: resurrect a folded original as a
+        # duplicate of rows already inside the compact dir
+        shutil.copytree(state / compacts[0], state / "batch_id=0")
+        bands = sink.corpus_bands(spark)
+        assert sorted(set(r["id"] for r in bands.collect())) == [
+            300 + i for i in range(4)
+        ]
+        # a near-dup of doc 300 must still be suppressed exactly once
+        sink(_docs(spark, [(400, T0 + 9, texts[0])]), 9)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [300 + i for i in range(4)]
