@@ -12,7 +12,12 @@ BT.601). The companion encoder emits baseline 4:4:4 with the spec's
 Annex-K quantization and Huffman tables, so decode can be round-trip
 tested without any external image library.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+Progressive (SOF2) is fully supported — multi-scan coefficient
+accumulation with spectral selection AND successive approximation (DC
+first/refine, AC first with EOB runs, AC refinement with correction
+bits, T.81 Annex G), plus a progressive encoder whose scan script
+exercises every path so decode round-trips without an external image
+library. Arithmetic coding and 12-bit precision raise
 ``NotImplementedError`` — those remain injectable-kernel territory.
 """
 
@@ -211,8 +216,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to an (H, W, 3) uint8 RGB array
-    (grayscale broadcast to 3 channels)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to an
+    (H, W, 3) uint8 RGB array (grayscale broadcast to 3 channels)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -221,6 +226,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, components)
+    progressive = False
+    coef_store: list[np.ndarray] | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -228,6 +235,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI — no length word follows
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -251,7 +260,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_table(bits, values)
                 (huff_ac if tc else huff_dc)[th] = table
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -260,11 +270,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 0x0F, tq=tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
-                "lossless) unsupported — inject an external kernel"
+                f"JPEG process SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) unsupported — inject an external kernel"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -272,18 +282,287 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(
-                payload, pos + seglen, frame, scan_sel, quant,
-                huff_dc, huff_ac, restart_interval,
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            if not progressive:
+                scan_sel = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan_sel, quant,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (G.1.1.1.1); "
+                    f"got Ss={ss}, Se={se}"
+                )
+            if coef_store is None:
+                coef_store = _alloc_coef_store(frame)
+            pos = _decode_progressive_scan(
+                payload, pos + seglen, frame, scan_comps,
+                ss, se, ah, al, huff_dc, huff_ac,
+                restart_interval, coef_store,
             )
+            continue
         elif marker == 0xD9:  # EOI
             break
         pos += seglen
+    if progressive and coef_store is not None:
+        return _reconstruct_progressive(frame, coef_store, quant)
     raise ValueError("no scan data found")
+
+
+# --- progressive decode (T.81 Annex G) -----------------------------------
+
+
+def _alloc_coef_store(frame) -> list[np.ndarray]:
+    """Per-component coefficient accumulators at the interleaved-MCU
+    grid size: (blocks_y, blocks_x, 64) int32, natural order filled via
+    zigzag index at decode time (we keep SCAN order here and zigzag at
+    reconstruction)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _comp_block_grid(frame, ci) -> tuple[int, int]:
+    """Non-interleaved block grid of component ci: ceil over the
+    component's own sample dimensions (T.81 A.1.1)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    c = comps[ci]
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip past any remaining entropy bytes to the next real marker."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return pos
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval, coef_store,
+):
+    """One progressive scan: dispatch on (Ss, Ah) to DC-first /
+    DC-refine / AC-first / AC-refine and update ``coef_store`` (scan-
+    order coefficients). Returns the stream position of the next
+    marker."""
+    h, w, comps = frame
+    cid_index = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    def reset_state(pred):
+        reader.align_and_skip_restart()
+        state["eobrun"] = 0
+        for i in range(len(pred)):
+            pred[i] = 0
+
+    try:
+        if ss == 0:
+            # DC scan — may be interleaved over multiple components
+            members = [cid_index[cs] for cs, _, _ in scan_comps]
+            tables = {cid_index[cs]: td for cs, td, _ in scan_comps}
+            pred = [0] * len(comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            if len(members) == 1:
+                ci = members[0]
+                by, bx = _comp_block_grid(frame, ci)
+                units = [
+                    (ci, y, x) for y in range(by) for x in range(bx)
+                ]
+            else:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in members:
+                            c = comps[ci]
+                            for vy in range(c["v"]):
+                                for vx in range(c["h"]):
+                                    units.append(
+                                        (ci, my * c["v"] + vy,
+                                         mx * c["h"] + vx)
+                                    )
+            per_mcu = max(1, len(units) // max(1, mcux * mcuy)) \
+                if len(members) > 1 else 1
+            count = 0
+            for ci, y, x in units:
+                if restart_interval and count and count % (
+                    restart_interval * per_mcu
+                ) == 0:
+                    try:
+                        reset_state(pred)
+                    except AssertionError:
+                        pass
+                try:
+                    if ah == 0:
+                        t = _decode_huffman(reader, huff_dc[tables[ci]])
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coef_store[ci][y, x, 0] = pred[ci] << al
+                    else:
+                        if reader.read_bit():
+                            coef_store[ci][y, x, 0] |= 1 << al
+                except _RestartMarker:
+                    reset_state(pred)
+                count += 1
+        else:
+            # AC scan — exactly one component (T.81 G.1.1.1.1)
+            if len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cs, _, ta = scan_comps[0]
+            ci = cid_index[cs]
+            table = huff_ac[ta]
+            by, bx = _comp_block_grid(frame, ci)
+            count = 0
+            for y in range(by):
+                for x in range(bx):
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        try:
+                            reset_state([])
+                        except AssertionError:
+                            pass
+                    blk = coef_store[ci][y, x]
+                    try:
+                        if ah == 0:
+                            _ac_first(reader, table, blk, ss, se, al, state)
+                        else:
+                            _ac_refine(reader, table, blk, ss, se, al, state)
+                    except _RestartMarker:
+                        reset_state([])
+                    count += 1
+    except _EndOfScan:
+        pass
+    return _next_marker(data, reader.pos)
+
+
+def _ac_first(reader, table, blk, ss, se, al, state):
+    """AC first scan for one block (G.1.2.2): EOB runs + run-length
+    coded magnitudes scaled by 2^Al. ``blk`` holds SCAN-order coefs."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, table, blk, ss, se, al, state):
+    """AC refinement scan for one block (G.1.2.3): correction bits for
+    already-nonzero coefficients, newly visible ±1<<Al insertions, and
+    EOB runs that still carry correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if reader.read_bit():
+            if blk[k] > 0 and not (blk[k] & p1):
+                blk[k] += p1
+            elif blk[k] < 0 and not (blk[k] & p1):
+                blk[k] += m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # FULL count here — the current block's remainder is
+                    # handled (corrections + the decrement) by the
+                    # trailing eobrun block below
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                newval = p1 if reader.read_bit() else m1
+            # advance over r zero-history positions, correcting any
+            # nonzero coefficients passed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: only correction bits for nonzero coefs
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coef_store, quant) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block and hand off to the
+    shared upsample/color-convert tail."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        store = coef_store[ci]
+        by, bx, _ = store.shape
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float32)
+        q = quant[c["tq"]]
+        for y in range(by):
+            for x in range(bx):
+                # store is SCAN order; zigzag to natural, then × the
+                # natural-order quant table
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = store[y, x]
+                block = (nat * q).reshape(8, 8)
+                pix = _DCT_C.T @ block @ _DCT_C + 128.0
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = pix
+        planes.append(plane)
+    return _finish(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(data, pos, frame, scan_sel, quant, huff_dc, huff_ac,
@@ -523,5 +802,246 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (SOF2, 4:4:4, successive approximation) ----------
+
+#: uniform-length custom Huffman tables for the progressive scans: the
+#: Annex-K AC tables lack the EOBn (r<<4, r=1..14) symbols progressive
+#: needs, so we emit canonical tables with every symbol at one length —
+#: valid per T.81 C.2 as long as the all-ones code stays unassigned.
+_PROG_DC_SPEC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_PROG_AC_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(14)]
+_PROG_AC_SPEC = ([0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS),
+                  0, 0, 0, 0, 0, 0, 0, 0], _PROG_AC_SYMBOLS)
+
+
+def _quantized_planes(arr: np.ndarray, quality: int):
+    """Shared front half of both encoders: color transform, 8×8 DCT,
+    quantize, zigzag → per-component (by, bx, 64) int32 scan-order
+    coefficient arrays + the quant tables used."""
+    gray = arr.ndim == 2
+    if gray:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    f = arr.astype(np.float64)
+    if gray:
+        planes = [f[:, :, 0]]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qluma = _quality_scale(_STD_QUANT_LUMA, quality)
+    qchroma = _quality_scale(_STD_QUANT_CHROMA, quality)
+    qtabs = [qluma] + ([] if gray else [qchroma])
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    coef = []
+    for ci, plane in enumerate(planes):
+        tid = 0 if ci == 0 else 1
+        out = np.zeros((by, bx, 64), dtype=np.int32)
+        for yb in range(by):
+            for xb in range(bx):
+                block = np.full((8, 8), plane[min(yb * 8, h - 1),
+                                              min(xb * 8, w - 1)])
+                ys = min(8, h - yb * 8)
+                xs = min(8, w - xb * 8)
+                block[:ys, :xs] = plane[yb * 8 : yb * 8 + ys,
+                                        xb * 8 : xb * 8 + xs]
+                coefs = _DCT_C @ (block - 128.0) @ _DCT_C.T
+                quantized = np.round(
+                    coefs.reshape(64) / qtabs[tid]
+                ).astype(np.int32)
+                out[yb, xb] = quantized[_ZIGZAG]
+        coef.append(out)
+    return h, w, gray, coef, qtabs
+
+
+class _ProgACWriter:
+    """Encoder-side state for one progressive AC scan: EOB-run
+    aggregation plus the refinement correction-bit buffer."""
+
+    def __init__(self, writer: "_BitWriter", enc_ac: dict):
+        self.w = writer
+        self.enc = enc_ac
+        self.eobrun = 0
+        self.bits: list[int] = []  # correction bits pending an EOB flush
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun == 0 and not self.bits:
+            return
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.enc[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB (or (H, W) gray) array as a
+    progressive (SOF2) 4:4:4 JFIF JPEG whose scan script covers every
+    Annex-G decode path: interleaved DC first (Al=1) + DC refinement,
+    then per component two spectral AC bands (1-5, 6-63), each with a
+    first pass at Al=1 (EOB runs) and a refinement pass to Al=0
+    (correction bits + newly-visible insertions). Quantized
+    coefficients are identical to :func:`encode_jpeg` at the same
+    quality, so baseline and progressive decodes of the same image are
+    exactly equal."""
+    h, w, gray, coef, qtabs = _quantized_planes(arr, quality)
+    ncomp = len(coef)
+    by, bx, _ = coef[0].shape
+    enc_dc = _build_encode_table(*_PROG_DC_SPEC)
+    enc_ac = _build_encode_table(*_PROG_AC_SPEC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs):
+        zzq = np.empty(64, dtype=np.uint8)
+        zzq[:] = q[_ZIGZAG]
+        out += seg(0xDB, bytes([tid]) + zzq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_SPEC[0])
+               + bytes(_PROG_DC_SPEC[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_SPEC[0])
+               + bytes(_PROG_AC_SPEC[1]))
+
+    def sos_header(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])  # Td=0, Ta=0 (shared tables)
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                v = int(coef[ci][yb, xb, 0]) >> 1  # DC point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                t, mag = _magnitude(diff)
+                code, ln = enc_dc[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(mag, t)
+    wtr.flush()
+    out += wtr.buf
+
+    # ---- per component, two spectral bands: AC first at Al=1
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, 1)
+            wtr = _BitWriter()
+            ac = _ProgACWriter(wtr, enc_ac)
+            for yb in range(by):
+                for xb in range(bx):
+                    blk = coef[ci][yb, xb]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        temp = abs(v) >> 1
+                        if temp == 0:
+                            run += 1
+                            continue
+                        ac.flush_eobrun()
+                        while run > 15:
+                            code, ln = enc_ac[0xF0]
+                            wtr.write(code, ln)
+                            run -= 16
+                        sv = temp if v > 0 else -temp
+                        s, mag = _magnitude(sv)
+                        code, ln = enc_ac[(run << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(mag, s)
+                        run = 0
+                    if run:
+                        ac.eobrun += 1
+                        if ac.eobrun == 0x3FFF:
+                            ac.flush_eobrun()
+            ac.flush_eobrun()
+            wtr.flush()
+            out += wtr.buf
+
+    # ---- DC refinement: one raw bit per block, interleaved
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                wtr.write(int(coef[ci][yb, xb, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    # ---- per component, two spectral bands: AC refinement to Al=0
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 1, 0)
+            wtr = _BitWriter()
+            ac = _ProgACWriter(wtr, enc_ac)
+            for yb in range(by):
+                for xb in range(bx):
+                    blk = coef[ci][yb, xb]
+                    absv = [abs(int(blk[k])) for k in range(64)]
+                    # last newly-visible position in this band
+                    eob = ss - 1
+                    for k in range(ss, se + 1):
+                        if absv[k] == 1:
+                            eob = k
+                    run = 0
+                    pending: list[int] = []
+                    for k in range(ss, se + 1):
+                        temp = absv[k]
+                        if temp == 0:
+                            run += 1
+                            continue
+                        if temp > 1:
+                            # previously visible: buffer its bit-0
+                            pending.append(temp & 1)
+                            continue
+                        # newly visible (temp == 1)
+                        ac.flush_eobrun()
+                        while run > 15 and k <= eob:
+                            code, ln = enc_ac[0xF0]
+                            wtr.write(code, ln)
+                            run -= 16
+                            for b in pending:
+                                wtr.write(b, 1)
+                            pending = []
+                        code, ln = enc_ac[(run << 4) | 1]
+                        wtr.write(code, ln)
+                        wtr.write(1 if int(blk[k]) > 0 else 0, 1)
+                        for b in pending:
+                            wtr.write(b, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        ac.eobrun += 1
+                        ac.bits.extend(pending)
+                        if ac.eobrun == 0x3FFF:
+                            ac.flush_eobrun()
+            ac.flush_eobrun()
+            wtr.flush()
+            out += wtr.buf
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,7 +17,7 @@ kernels come in two tiers:
   decode, BMP row parsing, RIFF/WAV PCM frames, RIFF/AVI movi-chunk
   walking — not fakes.
 - Injectable slots for formats whose codecs genuinely need external
-  libraries (WebP/AVIF, progressive JPEG, MP3, ffmpeg video):
+  libraries (WebP/AVIF, MP3, ffmpeg video):
   pass ``decode=`` / ``resize=`` / ``extract=`` callables; unsupported
   magic bytes raise ``NotImplementedError`` naming the slot.
   ``fake_*`` deterministic stand-ins remain for library-free pipeline
@@ -212,7 +212,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders (PNG, BMP, baseline
-    JPEG). Other formats (WebP, progressive JPEG) need an external
+    AND progressive JPEG). Other formats (WebP/AVIF) need an external
     codec — inject one via the ``decode=`` slot."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)

@@ -82,12 +82,21 @@ class TestValidation:
         with pytest.raises(ValueError):
             decode_jpeg(b"BMnotajpeg")
 
-    def test_progressive_raises_not_implemented(self):
+    def test_baseline_scan_in_progressive_frame_rejected(self):
+        # flipping SOF0 -> SOF2 leaves a full-spectrum interleaved scan,
+        # which progressive forbids (DC scans must have Se=0)
         img = _gradient(8, 8)
         enc = bytearray(encode_jpeg(img))
-        # flip the SOF0 marker (FFC0) to SOF2 (FFC2 = progressive)
         i = enc.find(b"\xff\xc0")
         enc[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(bytes(enc))
+
+    def test_arithmetic_coding_raises_not_implemented(self):
+        img = _gradient(8, 8)
+        enc = bytearray(encode_jpeg(img))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC9  # SOF9: arithmetic sequential
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(enc))
 
@@ -115,3 +124,75 @@ class TestSparkPath:
         dec = decode_bmp(out)
         assert dec.shape == (4, 4, 3)
         assert dec[:, :2].mean() < 40 and dec[:, 2:].mean() > 215
+
+
+class TestProgressive:
+    """Progressive (SOF2) support: the progressive encoder quantizes
+    identically to the baseline one, so decodes of both encodings of
+    the same image must be EXACTLY equal — a self-validating pin over
+    every Annex-G scan path (DC first/refine, AC first with EOB runs,
+    AC refinement with correction bits, two spectral bands)."""
+
+    def _img(self, h, w, seed=3):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        r = ((x * 7 + y * 3 + seed) % 256).astype(np.uint8)
+        g = ((x * 2 + y * 11 + 2 * seed) % 256).astype(np.uint8)
+        b = ((x * 13 + y * 5) % 256).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    def test_color_round_trip_equals_baseline(self):
+        import numpy as np
+
+        from grafeo_memory_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = self._img(40, 56)
+        for q in (50, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), f"quality={q}"
+
+    def test_gray_and_non_multiple_of_8(self):
+        import numpy as np
+
+        from grafeo_memory_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        gray = (np.add.outer(np.arange(37), np.arange(51)) % 256).astype(
+            np.uint8
+        )
+        base = decode_jpeg(encode_jpeg(gray, quality=75))
+        prog = decode_jpeg(encode_jpeg_progressive(gray, quality=75))
+        assert np.array_equal(base, prog)
+
+    def test_flat_image_exercises_eob_runs(self):
+        import numpy as np
+
+        from grafeo_memory_spark.pipeline.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        # large flat regions → every AC block is an EOB → long EOB runs
+        img = np.full((64, 64, 3), 200, dtype=np.uint8)
+        img[:8, :8] = 10  # one busy corner so scans aren't degenerate
+        out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+        assert out.shape == (64, 64, 3)
+        assert abs(int(out[32, 32, 0]) - 200) <= 2
+
+    def test_marker_says_sof2(self):
+        from grafeo_memory_spark.pipeline.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        payload = encode_jpeg_progressive(self._img(16, 16))
+        assert b"\xff\xc2" in payload  # SOF2 marker present
+        assert b"\xff\xc0" not in payload
