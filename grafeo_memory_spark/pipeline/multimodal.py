@@ -212,8 +212,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders (PNG, BMP, baseline
-    AND progressive JPEG). Other formats (WebP/AVIF) need an external
-    codec — inject one via the ``decode=`` slot."""
+    AND progressive JPEG, lossless WebP). Other formats (lossy WebP,
+    AVIF) need an external codec — inject via the ``decode=`` slot."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -222,8 +222,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from grafeo_memory_spark.pipeline.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from grafeo_memory_spark.pipeline.webp import decode_webp
+
+        return decode_webp(payload)[:, :, :3]
     raise NotImplementedError(
-        f"no stdlib codec for magic {payload[:4]!r} (WebP/AVIF need an "
+        f"no stdlib codec for magic {payload[:4]!r} (AVIF needs an "
         "injected decode kernel)"
     )
 
