@@ -11,11 +11,12 @@ kernels come in two tiers:
   `encode_png`), baseline JPEG decode/encode (`pipeline/jpeg.py` —
   Huffman entropy coding, IDCT, chroma upsampling per ITU T.81),
   nearest-neighbor resize (`real_resize`), WAV audio features
-  (`real_audio_features`), and AVI/MJPEG video demux
-  (`real_frame_sample`, `pipeline/avi.py`). These are genuine
-  byte-level codecs — zlib inflate + PNG unfiltering, JPEG entropy
-  decode, BMP row parsing, RIFF/WAV PCM frames, RIFF/AVI movi-chunk
-  walking — not fakes.
+  (`real_audio_features`), and AVI/MJPEG plus MP4/MJPEG video demux
+  (`real_frame_sample`, `pipeline/avi.py`, `pipeline/mp4.py`). These
+  are genuine byte-level codecs — zlib inflate + PNG unfiltering, JPEG
+  entropy decode, BMP row parsing, RIFF/WAV PCM frames, RIFF/AVI
+  movi-chunk walking, ISO-BMFF sample-table offset reconstruction —
+  not fakes.
 - Injectable slots for formats whose codecs genuinely need external
   libraries (WebP/AVIF, MP3, ffmpeg video):
   pass ``decode=`` / ``resize=`` / ``extract=`` callables; unsupported
@@ -428,20 +429,23 @@ def fake_frame_sample(
 def real_frame_sample(
     payload: bytes, every_nth: int = 10, max_frames: int = 4
 ) -> list[bytes]:
-    """REAL video kernel: AVI/MJPEG container bytes → every
-    ``every_nth``-th frame payload (a decodable baseline JPEG), up to
-    ``max_frames``. Containers that need ffmpeg (MP4/H.264, WebM)
-    stay injectable via the ``sample=`` slot."""
-    from grafeo_memory_spark.pipeline import avi
+    """REAL video kernel: AVI/MJPEG or MP4/MJPEG container bytes →
+    every ``every_nth``-th frame payload (a decodable JPEG), up to
+    ``max_frames``. Codec bitstreams that need ffmpeg (H.264/VP9 in
+    MP4/WebM) stay injectable via the ``sample=`` slot."""
+    from grafeo_memory_spark.pipeline import avi, mp4
 
     if payload is None:
         return []
-    if not avi.is_avi(payload):
+    if avi.is_avi(payload):
+        frames = avi.parse_avi_frames(payload)
+    elif mp4.is_mp4(payload):
+        frames = mp4.parse_mp4_frames(payload)  # NotImplementedError for avc1 etc.
+    else:
         raise NotImplementedError(
             f"no stdlib demuxer for magic {bytes(payload[:4])!r} "
-            "(MP4/WebM need an injected sample kernel)"
+            "(WebM needs an injected sample kernel)"
         )
-    frames = avi.parse_avi_frames(payload)
     return frames[:: max(1, every_nth)][:max_frames]
 
 

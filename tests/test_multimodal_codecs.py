@@ -289,7 +289,7 @@ class TestAviMjpeg:
         ]
         assert real_frame_sample(None) == []
         with pytest.raises(NotImplementedError):
-            real_frame_sample(b"\x00\x00\x00\x18ftypmp42")  # MP4 — still a slot
+            real_frame_sample(b"\x1aE\xdf\xa3webmwebm")  # WebM — still a slot
 
     def test_rejects_non_avi(self):
         from grafeo_memory_spark.pipeline.avi import parse_avi_frames
@@ -322,3 +322,140 @@ class TestAviMjpeg:
         assert [bytes(r["frame_payload"]) for r in rows] == frames[:3]
         # each sampled frame is a genuinely decodable JPEG
         assert decode_image(bytes(rows[1]["frame_payload"])).shape == (16, 16, 3)
+
+
+class TestMp4Mjpeg:
+    """MP4/ISO-BMFF container codec (pipeline/mp4.py): sample-table
+    offset reconstruction, multi-sample chunks, co64, codec slots."""
+
+    def _frames(self, n=5, size=16):
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+
+        return [
+            encode_jpeg(np.full((size, size, 3), 40 * i, dtype=np.uint8), quality=95)
+            for i in range(n)
+        ]
+
+    def test_container_round_trip(self):
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            is_mp4,
+            parse_mp4_frames,
+        )
+
+        frames = self._frames(5)
+        payload = encode_mp4_mjpeg(frames, 16, 16, fps=4)
+        assert is_mp4(payload) and payload[4:8] == b"ftyp"
+        assert parse_mp4_frames(payload) == frames
+
+    def test_multi_sample_chunks(self):
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
+
+        frames = [b"\xff\xd8%d" % i for i in range(7)]
+        # 7 samples, 3 per chunk → chunks of 3/3/1 exercises the stsc
+        # tail run and the within-chunk offset walk
+        payload = encode_mp4_mjpeg(frames, 2, 2, samples_per_chunk=3)
+        assert parse_mp4_frames(payload) == frames
+        # fewer samples than one chunk
+        short = [b"\xff\xd8a", b"\xff\xd8b"]
+        assert parse_mp4_frames(
+            encode_mp4_mjpeg(short, 2, 2, samples_per_chunk=5)
+        ) == short
+
+    def test_parsed_frames_decode_as_jpeg(self):
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
+
+        frames = self._frames(3)
+        for i, frame in enumerate(parse_mp4_frames(encode_mp4_mjpeg(frames, 16, 16))):
+            img = decode_image(frame)
+            assert img.shape == (16, 16, 3)
+            assert np.abs(img.astype(int) - 40 * i).max() <= 3
+
+    def test_co64_offsets(self):
+        from grafeo_memory_spark.pipeline import mp4
+
+        frames = [b"\xff\xd8one", b"\xff\xd8two"]
+        payload = bytearray(mp4.encode_mp4_mjpeg(frames, 2, 2))
+        # rewrite the stco box as co64 in place: same count, 64-bit
+        # offsets. Locate stco, build co64, splice.
+        idx = bytes(payload).index(b"stco") - 4
+        import struct as _s
+
+        size = _s.unpack_from(">I", payload, idx)[0]
+        count = _s.unpack_from(">I", payload, idx + 12)[0]
+        offsets = [
+            _s.unpack_from(">I", payload, idx + 16 + 4 * i)[0]
+            for i in range(count)
+        ]
+        co64_body = b"\x00" * 4 + _s.pack(">I", count) + b"".join(
+            _s.pack(">Q", o) for o in offsets
+        )
+        co64 = _s.pack(">I", 8 + len(co64_body)) + b"co64" + co64_body
+        grown = len(co64) - size
+        new = bytes(payload[:idx]) + co64 + bytes(payload[idx + size :])
+        # patch every enclosing box size (moov trak mdia minf stbl)
+        out = bytearray(new)
+        for fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            j = out.index(fourcc) - 4
+            _s.pack_into(">I", out, j, _s.unpack_from(">I", out, j)[0] + grown)
+        assert mp4.parse_mp4_frames(bytes(out)) == frames
+
+    def test_non_jpeg_codec_is_injectable_slot(self):
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
+
+        payload = bytearray(encode_mp4_mjpeg([b"\xff\xd8xx"], 2, 2))
+        idx = bytes(payload).index(b"stsd")
+        # sample-entry fourcc: stsd fourcc(4) + ver/flags(4) +
+        # entry_count(4) + entry size(4) → 16 bytes past 'stsd'
+        payload[idx + 16 : idx + 20] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            parse_mp4_frames(bytes(payload))
+
+    def test_rejects_non_mp4(self):
+        from grafeo_memory_spark.pipeline.mp4 import parse_mp4_frames
+
+        with pytest.raises(ValueError):
+            parse_mp4_frames(b"RIFF\x04\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            parse_mp4_frames(b"\x00\x00\x00\x10ftypmp42mp41mp42")  # no moov
+
+    def test_real_frame_sample_dispatches_mp4(self):
+        from grafeo_memory_spark.pipeline.mp4 import encode_mp4_mjpeg
+        from grafeo_memory_spark.pipeline.multimodal import real_frame_sample
+
+        frames = self._frames(6)
+        payload = encode_mp4_mjpeg(frames, 16, 16)
+        assert real_frame_sample(payload, every_nth=3, max_frames=2) == [
+            frames[0],
+            frames[3],
+        ]
+
+    def test_sample_frames_spark_real_kernel_mp4(self, spark):
+        from grafeo_memory_spark.pipeline.mp4 import encode_mp4_mjpeg
+        from grafeo_memory_spark.pipeline.multimodal import (
+            real_frame_sample,
+            sample_frames,
+        )
+
+        frames = self._frames(4)
+        payload = encode_mp4_mjpeg(frames, 16, 16)
+        assets = spark.createDataFrame(
+            [(1, "video", bytearray(payload), None)],
+            "asset_id long, kind string, payload binary, meta string",
+        )
+        rows = sorted(
+            sample_frames(assets, every_nth=1, max_frames=3,
+                          sample=real_frame_sample).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [bytes(r["frame_payload"]) for r in rows] == frames[:3]
+        assert decode_image(bytes(rows[0]["frame_payload"])).shape == (16, 16, 3)
