@@ -1,7 +1,7 @@
 """Composed training-corpus construction: the canonical LLM-data
-recipe — clean → quality-filter → exact dedup → fuzzy dedup → span
-dedup → decontaminate → mixture-sample — as ONE configurable call with
-per-stage accounting.
+recipe — clean → quality-filter → exact dedup → LM perplexity cut →
+fuzzy dedup → span dedup → decontaminate → mixture-sample — as ONE
+configurable call with per-stage accounting.
 
 Each stage is the already-tested operator from its own module
 (`cleaning` / `dedup` / `decontamination` / `sampling`); this layer
@@ -41,6 +41,7 @@ from grafeo_memory_spark.pipeline.cleaning import (
     strip_html,
 )
 from grafeo_memory_spark.pipeline.decontamination import decontaminate
+from grafeo_memory_spark.pipeline.lm import LmModel, lm_perplexity
 from grafeo_memory_spark.pipeline.dedup import (
     dedup_spans_global,
     exact_dedup,
@@ -61,6 +62,7 @@ class CorpusRecipe:
     quality: bool = True               # Gopher rule family
     min_words: int = 50
     exact: bool = True                 # content-hash dedup
+    lm_max_ppl: float | None = None    # CCNet perplexity cut (needs lm_model)
     fuzzy: bool = True                 # MinHash/LSH + components
     jaccard_threshold: float = 0.5
     spans: bool = False                # C4 global span dedup (line corpora)
@@ -97,6 +99,7 @@ def build_training_corpus(
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
     bench_text_col: str | None = None,
+    lm_model: LmModel | None = None,
     recipe: CorpusRecipe | None = None,
     count_stages: bool = False,
 ) -> tuple[DataFrame, StageReport]:
@@ -132,6 +135,18 @@ def build_training_corpus(
         cur = step("quality", cur.where(flags.getField("keep")))
     if r.exact:
         cur = step("exact_dedup", exact_dedup(cur, text_col, id_col))
+    if r.lm_max_ppl is not None and lm_model is not None:
+        # CCNet cut after exact dedup (verbatim copies never pay the
+        # scoring explode) and before the fuzzy sketch (fewer docs to
+        # shingle). Null-scored docs (<2 tokens) drop with the tail.
+        scored = lm_perplexity(cur, lm_model, text_col=text_col,
+                               id_col=id_col)
+        cur = step(
+            "lm_filter",
+            scored.where(F.col("lm_ppl") <= r.lm_max_ppl).drop(
+                "lm_nll", "lm_ppl", "lm_bigrams"
+            ),
+        )
     if r.fuzzy:
         cur = step(
             "fuzzy_dedup",

@@ -93,6 +93,32 @@ class TestBuildTrainingCorpus:
         ids = {r["doc_id"] for r in out.collect()}
         assert 3 not in ids
 
+    def test_lm_filter_stage(self, spark, corpus):
+        from grafeo_memory_spark.pipeline.lm import lm_perplexity, lm_train
+
+        model = lm_train(corpus, max_vocab=200, alpha=0.1)
+        # threshold chosen between the in-distribution web docs and the
+        # out-of-distribution books doc so the cut is observable
+        ppls = {
+            r["doc_id"]: r["lm_ppl"]
+            for r in lm_perplexity(corpus, model, id_col="doc_id").collect()
+            if r["lm_ppl"] is not None
+        }
+        cut = (ppls[0] + ppls[103]) / 2
+        assert ppls[0] < cut < ppls[103]
+        out, report = build_training_corpus(
+            corpus,
+            lm_model=model,
+            recipe=CorpusRecipe(
+                clean=False, quality=False, fuzzy=False,
+                decontaminate=False, lm_max_ppl=cut,
+            ),
+        )
+        assert report.stages == ["exact_dedup", "lm_filter"]
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 103 not in ids and 0 in ids
+        assert out.columns == corpus.columns  # score columns dropped
+
     def test_no_stage_counts_by_default(self, spark, corpus):
         _, report = build_training_corpus(
             corpus, recipe=CorpusRecipe(decontaminate=False)
