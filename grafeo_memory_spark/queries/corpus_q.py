@@ -23,6 +23,7 @@ from grafeo_memory_spark.pipeline.cleaning import (
     top_word_ratio,
 )
 from grafeo_memory_spark.pipeline.decontamination import contamination_matches
+from grafeo_memory_spark.pipeline.lm import ccnet_buckets, lm_perplexity, lm_train
 from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
 from grafeo_memory_spark.pipeline.sampling import (
     length_bucket,
@@ -361,3 +362,103 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", salt=3,
     )
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w AS word, count(*) AS c_uni
+      FROM (SELECT unnest(ws) AS w FROM toks WHERE source = 'src0')
+      GROUP BY w
+      ORDER BY c_uni DESC, word ASC LIMIT 20
+    ),
+    pr_t AS (
+      SELECT ws[i] AS w1r, ws[i + 1] AS w2r
+      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM toks WHERE source = 'src0' AND len(ws) >= 2)
+    ),
+    pm_t AS (
+      SELECT CASE WHEN v1.word IS NULL THEN '<unk>' ELSE p.w1r END AS w1,
+             CASE WHEN v2.word IS NULL THEN '<unk>' ELSE p.w2r END AS w2
+      FROM pr_t p
+      LEFT JOIN vocab v1 ON v1.word = p.w1r
+      LEFT JOIN vocab v2 ON v2.word = p.w2r
+    ),
+    counted AS (SELECT w1, w2, count(*) AS c_bi FROM pm_t GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM counted GROUP BY w1),
+    bg AS (SELECT w1, w2, c_bi FROM counted
+           ORDER BY c_bi DESC, w1 ASC, w2 ASC LIMIT 200),
+    vs AS (SELECT (count(*) + 1)::DOUBLE AS v FROM vocab),
+    pr_s AS (
+      SELECT doc_id, ws[i] AS w1r, ws[i + 1] AS w2r
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM toks WHERE len(ws) >= 2)
+    ),
+    pm_s AS (
+      SELECT doc_id,
+             CASE WHEN v1.word IS NULL THEN '<unk>' ELSE p.w1r END AS w1,
+             CASE WHEN v2.word IS NULL THEN '<unk>' ELSE p.w2r END AS w2
+      FROM pr_s p
+      LEFT JOIN vocab v1 ON v1.word = p.w1r
+      LEFT JOIN vocab v2 ON v2.word = p.w2r
+    ),
+    sc AS (
+      SELECT p.doc_id,
+             -ln((coalesce(b.c_bi, 0)::DOUBLE + 0.1)
+                 / (coalesce(c.c_ctx, 0)::DOUBLE + 0.1 * vs.v)) AS nll
+      FROM pm_s p
+      LEFT JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN ctx c ON c.w1 = p.w1
+      CROSS JOIN vs
+    ),
+    agg AS (SELECT doc_id, count(*) AS n, avg(nll) AS nll
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(a.n AS BIGINT) AS lm_bigrams,
+           round(a.nll, 6) AS lm_nll,
+           round(exp(a.nll), 6) AS lm_ppl,
+           CASE WHEN a.nll IS NULL THEN NULL
+                WHEN exp(a.nll) <= 20.0 THEN 'head'
+                WHEN exp(a.nll) > 35.0 THEN 'tail'
+                ELSE 'middle' END AS lm_bucket
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (`pipeline/lm.py`): train a
+    pruned Lidstone bigram LM on the trusted slice (source='src0',
+    max_vocab=20 so the `<unk>` collapse actually fires on this
+    corpus, max_bigrams=200 of 376 observed so the smoothed-floor
+    backoff is exercised too), score EVERY document map-only against
+    the broadcast model, and split head/middle/tail at fixed
+    perplexity thresholds (20/35 — explicit-threshold `ccnet_buckets`,
+    the deterministic form).
+
+    The oracle replays the entire thing — training counts, both prune
+    orderings (count desc then lexicographic), the `<unk>` mapping,
+    smoothing arithmetic in the same operation order, and the bucket
+    split — so the hash pins training AND scoring, not just the score
+    shape. Docs with <2 tokens surface with NULL scores (left join),
+    matching `lm_perplexity`'s contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm_train(
+        docs.where(F.col("source") == "src0"),
+        text_col="text", max_vocab=20, max_bigrams=200, alpha=0.1,
+    )
+    scored = lm_perplexity(docs, model, text_col="text", id_col="doc_id")
+    bucketed = ccnet_buckets(scored, thresholds=(20.0, 35.0))
+    return bucketed.select(
+        "doc_id",
+        "lm_bigrams",
+        F.round("lm_nll", 6).alias("lm_nll"),
+        F.round("lm_ppl", 6).alias("lm_ppl"),
+        "lm_bucket",
+    ).orderBy("doc_id")

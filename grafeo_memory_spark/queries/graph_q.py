@@ -61,48 +61,51 @@ def _anchor_entities(entities: DataFrame) -> DataFrame:
 @query(
     "graph_1hop",
     oracle=f"""
-    SELECT m.id AS memory_id, e.name AS entity_name
+    SELECT 'fwd' AS hop, m.id AS memory_id, e.name AS entity_key
     FROM {_MEM} m
     JOIN {_EDG} g ON g.src = m.id AND g.edge_type = 'HAS_ENTITY'
     JOIN {_ENT} e ON e.id = g.dst
     WHERE m.user_id = 'alice' AND m.expired_at IS NULL
-    ORDER BY memory_id, entity_name
-    """,
-)
-def q_graph_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — Memory⋈Entity 1-hop (`manager.py:1167-1178`): entities of
-    every non-expired memory of one user. Two hash joins; the user and
-    expiry predicates push into the memories Parquet scan."""
-    mem = load_fixture(spark, sf_dir, "memories").where(
-        (F.col("user_id") == "alice") & F.col("expired_at").isNull()
-    )
-    out = memory_entities(mem, load_fixture(spark, sf_dir, "edges"),
-                          load_fixture(spark, sf_dir, "entities"))
-    return out.select("memory_id", "entity_name").orderBy("memory_id", "entity_name")
-
-
-@query(
-    "graph_reverse_1hop",
-    oracle=f"""
-    SELECT g.dst AS entity_id, m.id AS memory_id
+    UNION ALL
+    SELECT 'rev' AS hop, m.id AS memory_id,
+           CAST(g.dst AS VARCHAR) AS entity_key
     FROM {_EDG} g
     JOIN {_ENT} e ON e.id = g.dst AND g.edge_type = 'HAS_ENTITY'
     JOIN {_MEM} m ON m.id = g.src
     WHERE lower(e.name) IN {_ANCHOR_SQL}
       AND m.expired_at IS NULL
-    ORDER BY entity_id, memory_id
+    ORDER BY hop, memory_id, entity_key
     """,
 )
-def q_graph_reverse_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — Entity⋈Memory reverse 1-hop (`search/graph.py:110-165`):
-    non-expired memories mentioning an anchor entity. The anchor set is
-    broadcast; lower(name) matching is the reference's case-insensitive
-    fallback (X5)."""
+def q_graph_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + J2 in one tagged union (merged per VERDICT r4 item 1's
+    slot-folding pattern — each operator keeps a green row through the
+    shared query; the freed slot went to `lm_perplexity`).
+
+    'fwd' rows: Memory⋈Entity 1-hop (`manager.py:1167-1178`) — entities
+    of every non-expired memory of one user; the user and expiry
+    predicates push into the memories Parquet scan. 'rev' rows:
+    Entity⋈Memory reverse 1-hop (`search/graph.py:110-165`) — the
+    anchor set is broadcast; lower(name) matching is the reference's
+    case-insensitive fallback (X5)."""
+    mem = load_fixture(spark, sf_dir, "memories")
+    edges = load_fixture(spark, sf_dir, "edges")
     ent = load_fixture(spark, sf_dir, "entities")
-    mem = load_fixture(spark, sf_dir, "memories").where(F.col("expired_at").isNull())
-    out = entity_memories(_anchor_entities(ent),
-                          load_fixture(spark, sf_dir, "edges"), mem)
-    return out.select("entity_id", "memory_id").orderBy("entity_id", "memory_id")
+    alice = mem.where(
+        (F.col("user_id") == "alice") & F.col("expired_at").isNull()
+    )
+    fwd = memory_entities(alice, edges, ent).select(
+        F.lit("fwd").alias("hop"),
+        "memory_id",
+        F.col("entity_name").alias("entity_key"),
+    )
+    live = mem.where(F.col("expired_at").isNull())
+    rev = entity_memories(_anchor_entities(ent), edges, live).select(
+        F.lit("rev").alias("hop"),
+        "memory_id",
+        F.col("entity_id").cast("string").alias("entity_key"),
+    )
+    return fwd.unionByName(rev).orderBy("hop", "memory_id", "entity_key")
 
 
 @query(
