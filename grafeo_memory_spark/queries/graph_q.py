@@ -236,59 +236,59 @@ def q_supersedes_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "leads_to_chain",
+    "chain_expansion",
     oracle=f"""
-    WITH RECURSIVE walk(node_id, depth) AS (
+    WITH RECURSIVE lt(node_id, depth) AS (
       SELECT g.dst, 1 FROM {_EDG} g
       WHERE g.edge_type = 'LEADS_TO'
         AND g.src = (SELECT min(src) FROM {_EDG} WHERE edge_type = 'LEADS_TO')
       UNION ALL
       SELECT g.dst, w.depth + 1
-      FROM walk w JOIN {_EDG} g
+      FROM lt w JOIN {_EDG} g
         ON g.src = w.node_id AND g.edge_type = 'LEADS_TO'
       WHERE w.depth < 5
-    )
-    SELECT node_id, min(depth) AS depth
-    FROM walk GROUP BY node_id ORDER BY node_id
-    """,
-)
-def q_leads_to_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10 — LEADS_TO recursive chain, forward, max_depth=5 (reference
-    `temporal_chain`, `manager.py:1475-1569`): iterative frontier joins,
-    first-visit depth wins. Seed = the chain head with the smallest id
-    (deterministic; both sides derive it the same way)."""
-    edges = load_fixture(spark, sf_dir, "edges")
-    lt = edges_of_type(edges, "LEADS_TO")
-    seed = lt.agg(F.min("src").alias("node_id"))
-    return expand_chain(edges, seed, "LEADS_TO", max_depth=5).orderBy("node_id")
-
-
-@query(
-    "next_episode_chain",
-    oracle=f"""
-    WITH RECURSIVE walk(node_id, depth) AS (
+    ), ne(node_id, depth) AS (
       SELECT g.dst, 1 FROM {_EDG} g
       WHERE g.edge_type = 'NEXT_EPISODE'
         AND g.src = (SELECT min(src) FROM {_EDG} WHERE edge_type = 'NEXT_EPISODE')
       UNION ALL
       SELECT g.dst, w.depth + 1
-      FROM walk w JOIN {_EDG} g
+      FROM ne w JOIN {_EDG} g
         ON g.src = w.node_id AND g.edge_type = 'NEXT_EPISODE'
       WHERE w.depth < 10
     )
-    SELECT node_id, min(depth) AS depth
-    FROM walk GROUP BY node_id ORDER BY node_id
+    SELECT 'leads_to' AS kind, node_id, min(depth) AS depth
+    FROM lt GROUP BY node_id
+    UNION ALL
+    SELECT 'episode' AS kind, node_id, min(depth) AS depth
+    FROM ne GROUP BY node_id
+    ORDER BY kind, node_id
     """,
 )
-def q_next_episode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 — NEXT_EPISODE single-successor walk, max_depth=10
-    (`_episode_chain_impl` + `_traverse_episodes`,
-    `manager.py:1407-1473`); out-degree ≤ 1 by construction so each hop
-    is a 1-row frontier."""
+def q_chain_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 + J11 in one tagged union (merged per the r4 slot-folding
+    pattern; the freed slot went to `pq_adc_topk`).
+
+    'leads_to' rows: LEADS_TO recursive chain, forward, max_depth=5
+    (reference `temporal_chain`, `manager.py:1475-1569`) — iterative
+    frontier joins, first-visit depth wins, seeded at the chain head
+    with the smallest id (deterministic; both sides derive it the same
+    way). 'episode' rows: NEXT_EPISODE single-successor walk,
+    max_depth=10 (`_episode_chain_impl` + `_traverse_episodes`,
+    `manager.py:1407-1473`); out-degree ≤ 1 by construction so each
+    hop is a 1-row frontier."""
     edges = load_fixture(spark, sf_dir, "edges")
+    lt = edges_of_type(edges, "LEADS_TO")
+    lt_seed = lt.agg(F.min("src").alias("node_id"))
+    lt_out = expand_chain(edges, lt_seed, "LEADS_TO", max_depth=5).select(
+        F.lit("leads_to").alias("kind"), "node_id", "depth"
+    )
     ne = edges_of_type(edges, "NEXT_EPISODE")
-    seed = ne.agg(F.min("src").alias("node_id"))
-    return expand_chain(edges, seed, "NEXT_EPISODE", max_depth=10).orderBy("node_id")
+    ne_seed = ne.agg(F.min("src").alias("node_id"))
+    ne_out = expand_chain(edges, ne_seed, "NEXT_EPISODE", max_depth=10).select(
+        F.lit("episode").alias("kind"), "node_id", "depth"
+    )
+    return lt_out.unionByName(ne_out).orderBy("kind", "node_id")
 
 
 @query(

@@ -177,3 +177,86 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "pq_adc_topk",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             embedding::DOUBLE[] AS v
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cents AS (
+      SELECT js.j, s.c, s.v[js.j * 16 + 1 : js.j * 16 + 16] AS cv
+      FROM seeds s CROSS JOIN js
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sub AS (
+      SELECT e.vec_id, js.j,
+             (e.embedding::DOUBLE[])[js.j * 16 + 1 : js.j * 16 + 16] AS sv
+      FROM embeddings e CROSS JOIN js WHERE e.vec_id <> 0
+    ),
+    dists AS (
+      SELECT s.vec_id, s.j, c.c,
+             list_sum(list_transform(generate_series(1, 16),
+                                     t -> (s.sv[t] - c.cv[t]) ^ 2)) AS d
+      FROM sub s JOIN cents c ON c.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.j, c.c,
+             list_sum(list_transform(generate_series(1, 16),
+                                     t -> (q.qv[c.j * 16 + t] - c.cv[t]) ^ 2))
+               AS d
+      FROM cents c, q
+    )
+    SELECT k.vec_id, round(sum(l.d), 6) AS dist
+    FROM codes k JOIN lut l ON l.j = k.j AND l.c = k.c
+    GROUP BY k.vec_id
+    ORDER BY dist ASC, k.vec_id ASC
+    LIMIT 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k as a graded query (Jégou et al.
+    2011; companion to `ivf_topk` — same deterministic-codebook
+    strategy: the m=4 × k=8 codebooks are the subvectors of the 8
+    lowest-vec_id rows, so no training randomness enters the oracle,
+    while the Lloyd-trained `pq_train` path stays pinned by the
+    recall/distance-ratio tests in test_ann_quality).
+
+    Spark side is the production operator pair: `pq_encode` compresses
+    every vector to m one-byte codes (codegen argmin per subspace, one
+    scan, no shuffle — 64·8 bytes → 4 bytes per vector), then
+    `pq_adc_topk` scores candidates with a driver-built inlined lookup
+    table (m array reads + a fold per row) and TakeOrderedAndProject.
+    This is the memory-bound billion-vector scan shape. The oracle
+    replays subspace split, argmin codes (same d-then-c tie-break),
+    LUT arithmetic, and the final sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from grafeo_memory_spark.pipeline.ann import pq_adc_topk, pq_encode
+
+    seeds = [
+        list(r[0])
+        for r in emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    ]
+    codebooks = [
+        [[float(x) for x in s[j * 16 : (j + 1) * 16]] for s in seeds]
+        for j in range(4)
+    ]
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    encoded = pq_encode(emb.where(F.col("vec_id") != 0), codebooks)
+    out = pq_adc_topk(encoded, codebooks, qv, k=10)
+    return out.select(
+        F.col("id").alias("vec_id"), F.round("dist", 6).alias("dist")
+    ).orderBy(F.col("dist").asc(), F.col("vec_id").asc())
