@@ -488,3 +488,53 @@ def pq_adc_topk(
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def hard_negatives(
+    table: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar vectors with a DIFFERENT label — the
+    near-miss impostors that carry the most gradient signal in a
+    triplet / InfoNCE objective. Output (probe_id, id, sim, rank),
+    rank 1 = hardest negative; ties break on lowest id.
+
+    This is the exact (brute-force) baseline: anchors broadcast, one
+    scan of the corpus, cosine in codegen, per-anchor top-k. The
+    candidate shuffle carries |anchors|·|table| scored rows, so at
+    production scale run the same anchors through the LSH-bucketed
+    join (:func:`ann_lsh_join`) or IVF probes first and apply the
+    label-mismatch filter to the bucketed candidates — identical
+    semantics on the candidate set, fan-out bounded by bucket size.
+    """
+    from pyspark.sql import Window
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    scored = (
+        table.crossJoin(a)
+        .where(F.col(label_col) != F.col("q_label"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("id"),
+            cosine_similarity(vec_col, "qv").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

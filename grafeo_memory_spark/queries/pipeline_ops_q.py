@@ -10,12 +10,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grafeo_memory_spark.pipeline.ann import (
+    hard_negatives,
     ann_lsh_join,
     hyperplane_signature,
     planes_sql_literal,
     random_hyperplanes,
 )
 from grafeo_memory_spark.pipeline.dedup import (
+    semdedup,
     exact_dedup,
     jaccard_similarity_join,
     minhash_signature,
@@ -329,18 +331,49 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig t JOIN probes p ON t.bucket = p.bucket
       WHERE t.vec_id <> p.probe_id
     )
-    SELECT probe_id, id, round(sim, 6) AS sim, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY sim DESC, id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    ORDER BY probe_id, rank
+    , ranked AS (
+      SELECT 'lsh' AS kind, probe_id, id, round(sim, 6) AS sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ), hn_scored AS (
+      SELECT p.vec_id AS probe_id, t.vec_id AS id,
+             list_dot_product(t.embedding::DOUBLE[], p.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])))
+               AS sim
+      FROM embeddings t
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) p
+      WHERE t.label <> p.label
+    ), hn AS (
+      SELECT 'hardneg' AS kind, probe_id, id, round(sim, 6) AS sim, rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, id ASC) AS rank
+        FROM hn_scored
+      ) WHERE rank <= 5
+    )
+    SELECT * FROM ranked
+    UNION ALL
+    SELECT * FROM hn
+    ORDER BY kind, probe_id, rank
     """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-5 for 3 probes: the scale path for batch
-    similarity search — the bucket equi-join replaces the brute-force
-    cross join (multi_probe covers the exact baseline)."""
+    """Two batch-retrieval ops over the same 3 probe vectors, tagged:
+
+    'lsh' rows — LSH-bucketed ANN top-5: the scale path for batch
+    similarity search; the bucket equi-join replaces the brute-force
+    cross join (multi_probe covers the exact baseline).
+
+    'hardneg' rows — hard-negative mining
+    (`pipeline/ann.hard_negatives`): the 5 most-similar vectors with a
+    DIFFERENT label per anchor, the near-miss impostors a contrastive
+    objective trains against. Exact baseline form here (anchors
+    broadcast, one scan, codegen cosine, per-anchor top-k); the
+    docstring documents the LSH/IVF-bucketed variant as the
+    production-scale candidate generator."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
@@ -358,12 +391,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id").asc())
-    return (
+    lsh = (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
-        .select("probe_id", "id", F.round("sim", 6).alias("sim"), "rank")
-        .orderBy("probe_id", "rank")
+        .select(
+            F.lit("lsh").alias("kind"),
+            "probe_id", "id", F.round("sim", 6).alias("sim"), "rank",
+        )
     )
+    hn = hard_negatives(
+        emb, emb.where(F.col("vec_id").isin([0, 1, 2])), k=5
+    ).select(
+        F.lit("hardneg").alias("kind"),
+        "probe_id", "id", F.round("sim", 6).alias("sim"), "rank",
+    )
+    return lsh.unionByName(hn).orderBy("kind", "probe_id", "rank")
 
 
 @query(
@@ -411,3 +453,92 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
     ).orderBy("doc_id")
+
+
+_DUCK_COS_EC2 = (
+    "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+
+@query(
+    "semdedup",
+    oracle=f"""
+    WITH RECURSIVE cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cid, sim AS c_sim FROM (
+        SELECT e.vec_id, c.cid,
+               max({_DUCK_COS_EC2}) OVER (PARTITION BY e.vec_id) AS best,
+               {_DUCK_COS_EC2} AS sim
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE sim = best
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cid DESC) = 1
+    ),
+    pairs AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib
+      FROM assign x JOIN assign y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_DUCK_COS_AB} >= 0.35
+    ),
+    und AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION SELECT ib, ia FROM pairs
+      UNION SELECT ia, ia FROM pairs
+      UNION SELECT ib, ib FROM pairs
+    ),
+    cc(it, node, lbl) AS (
+      SELECT 0, a, a FROM (SELECT DISTINCT a FROM und)
+      UNION ALL
+      SELECT l.it + 1, e.a, min(l.lbl)
+      FROM cc l JOIN und e ON e.b = l.node
+      WHERE l.it < 10
+      GROUP BY l.it, e.a
+    ),
+    comp AS (SELECT node, lbl AS cluster FROM cc WHERE it = 10),
+    reps AS (
+      SELECT node FROM (
+        SELECT c.node, row_number() OVER (
+          PARTITION BY c.cluster ORDER BY a.c_sim ASC, c.node ASC) AS rn
+        FROM comp c JOIN assign a ON a.vec_id = c.node
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT node FROM comp
+      WHERE node NOT IN (SELECT node FROM reps)
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM losers)
+    ORDER BY e.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (Abbas et al. 2023; `pipeline/dedup.semdedup`)
+    over the embeddings table: 8 deterministic seed centroids (same
+    codebook convention as `ivf_topk`/`pq_adc_topk`), within-cluster
+    cosine pairs at eps=0.35, min-label connected components, keep the
+    farthest-from-centroid member of each duplicate group.
+
+    The oracle replays every stage: the argmax assignment with the
+    highest-cid tie-break (struct `array_max` ≡ `ORDER BY cid DESC`),
+    the pair threshold, ten rounds of min-label propagation over the
+    self-looped pair graph (≥ duplicate-component diameter, and stable
+    past the fixpoint — same argument as the `communities_lpa`
+    oracle), the lowest-(c_sim, id) representative choice, and the
+    anti-join keep. Hash therefore pins clustering AND the survivor
+    policy, not just the output size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(
+            emb.orderBy("vec_id").limit(8).select("embedding").collect()
+        )
+    ]
+    out = semdedup(emb, cents, eps=0.35, vec_col="embedding", id_col="vec_id")
+    return out.select("vec_id", "label").orderBy("vec_id")

@@ -49,11 +49,11 @@ _SQL_FREQ = (
 
 
 @query(
-    "composite_score",
+    "score_chain",
     oracle=f"""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS qv FROM {_MEM} WHERE id = 1
-    ), scored AS (
+    ), cscored AS (
       SELECT m.id AS memory_id,
              {_DUCK_COS_M} AS sim,
              {_SQL_RECENCY} AS recency,
@@ -61,59 +61,14 @@ _SQL_FREQ = (
              m.importance
       FROM {_MEM} m, q
       WHERE m.importance IS NOT NULL AND m.expired_at IS NULL
-    )
-    SELECT memory_id, round(sim, 6) AS sim, round(recency, 6) AS recency,
-           round(freq, 6) AS frequency,
-           round(0.4 * sim + 0.3 * recency + 0.15 * freq
-                 + 0.15 * importance, 6) AS composite
-    FROM scored
-    ORDER BY composite DESC, memory_id ASC
-    LIMIT 100
-    """,
-)
-def q_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1+R3+R5 — the weighted composite score with reference default
-    weights 0.4/0.3/0.15/0.15 (`compute_composite_score`,
-    `scoring.py:15-42`; recency `scoring.py:378-388`; frequency
-    `scoring.py:406-411`), pinned ``now``. Top-100 by composite.
-
-    Pure Column arithmetic over the scan — one codegen stage, then
-    TakeOrderedAndProject."""
-    mem = load_fixture(spark, sf_dir, "memories").where(
-        F.col("importance").isNotNull() & F.col("expired_at").isNull()
-    )
-    qv = (
-        load_fixture(spark, sf_dir, "memories")
-        .where(F.col("id") == 1)
-        .select(F.col("embedding").alias("qv"))
-    )
-    cfg = ScoreConfig()
-    sim = cosine_similarity("embedding", "qv")
-    scored = mem.crossJoin(F.broadcast(qv)).select(
-        F.col("id").alias("memory_id"),
-        F.round(sim, 6).alias("sim"),
-        F.round(recency_score("created_at", NOW_MS, cfg.decay_rate), 6).alias(
-            "recency"
-        ),
-        F.round(frequency_score("access_count"), 6).alias("frequency"),
-        F.round(
-            composite_score(
-                sim, "created_at", "access_count", F.col("importance"),
-                NOW_MS, cfg,
-            ),
-            6,
-        ).alias("composite"),
-    )
-    return scored.orderBy(F.col("composite").desc(), F.col("memory_id").asc()).limit(
-        100
-    )
-
-
-@query(
-    "boost_chain",
-    oracle=f"""
-    WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM {_MEM} WHERE id = 1
+    ), cpart AS (
+      SELECT memory_id, round(sim, 6) AS sim, round(recency, 6) AS recency,
+             round(freq, 6) AS frequency,
+             round(0.4 * sim + 0.3 * recency + 0.15 * freq
+                   + 0.15 * importance, 6) AS composite
+      FROM cscored
+      ORDER BY composite DESC, memory_id ASC
+      LIMIT 100
     ), he AS (
       SELECT src AS memory_id, dst AS entity_id FROM {_EDG}
       WHERE edge_type = 'HAS_ENTITY'
@@ -127,7 +82,7 @@ def q_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(*) AS sr
       FROM he JOIN deg d ON d.entity_id = he.entity_id
       GROUP BY he.memory_id
-    ), scored AS (
+    ), bscored AS (
       SELECT m.id AS memory_id,
              {_DUCK_COS_M} AS sim,
              -- coalesce inputs, not the sum: DuckDB least/greatest skip
@@ -139,32 +94,86 @@ def q_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              least(1.0, coalesce(m._betweenness, 0.0) * 10.0) AS bt
       FROM {_MEM} m LEFT JOIN topo t ON t.memory_id = m.id, q
       WHERE m.expired_at IS NULL
+    ), bpart AS (
+      SELECT memory_id, round(topology, 6) AS topology,
+             round(sim * (1.0 + 0.3 * topology)
+                   * (1.0 + 0.2 * (0.7 * pr + 0.3 * bt)), 6) AS boosted
+      FROM bscored
+      ORDER BY boosted DESC, memory_id ASC
+      LIMIT 100
     )
-    SELECT memory_id, round(topology, 6) AS topology,
-           round(sim * (1.0 + 0.3 * topology)
-                 * (1.0 + 0.2 * (0.7 * pr + 0.3 * bt)), 6) AS boosted
-    FROM scored
-    ORDER BY boosted DESC, memory_id ASC
-    LIMIT 100
+    SELECT 'composite' AS kind, memory_id, sim, recency, frequency,
+           composite, CAST(NULL AS DOUBLE) AS topology,
+           CAST(NULL AS DOUBLE) AS boosted
+    FROM cpart
+    UNION ALL
+    SELECT 'boost' AS kind, memory_id, CAST(NULL AS DOUBLE) AS sim,
+           CAST(NULL AS DOUBLE) AS recency, CAST(NULL AS DOUBLE) AS frequency,
+           CAST(NULL AS DOUBLE) AS composite, topology, boosted
+    FROM bpart
+    ORDER BY kind, memory_id
     """,
 )
-def q_boost_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6→R7 — the boost chain applied in pipeline order (reference
-    `manager.py:742-756`): topology boost
+def q_score_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R3+R5 and R6→R7 in one tagged union (merged per the r4
+    slot-folding pattern; the freed slot went to `semdedup`).
+
+    'composite' rows — the weighted composite score with reference
+    default weights 0.4/0.3/0.15/0.15 (`compute_composite_score`,
+    `scoring.py:15-42`; recency `scoring.py:378-388`; frequency
+    `scoring.py:406-411`), pinned ``now``, top-100 by composite. Pure
+    Column arithmetic over the scan — one codegen stage, then
+    TakeOrderedAndProject.
+
+    'boost' rows — the boost chain applied in pipeline order
+    (reference `manager.py:742-756`): topology boost
     ``score·(1 + 0.3·topology)`` (`scoring.py:185-222`) then
     cross-session boost ``score·(1 + 0.2·(0.7·min(1,pr·10) +
-    0.3·min(1,bt·10)))`` (`scoring.py:128-182`) over the cached metric
-    columns. Memories without entities get topology 0 (R4's no-entity
-    rule)."""
+    0.3·min(1,bt·10)))`` (`scoring.py:128-182`) over the cached
+    metric columns; memories without entities get topology 0 (R4's
+    no-entity rule). Top-100 by boosted score."""
     mem = load_fixture(spark, sf_dir, "memories")
     edges = load_fixture(spark, sf_dir, "edges")
     qv = mem.where(F.col("id") == 1).select(F.col("embedding").alias("qv"))
+
+    cfg = ScoreConfig()
+    cmem = mem.where(
+        F.col("importance").isNotNull() & F.col("expired_at").isNull()
+    )
+    sim = cosine_similarity("embedding", "qv")
+    cpart = (
+        cmem.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("id").alias("memory_id"),
+            F.round(sim, 6).alias("sim"),
+            F.round(
+                recency_score("created_at", NOW_MS, cfg.decay_rate), 6
+            ).alias("recency"),
+            F.round(frequency_score("access_count"), 6).alias("frequency"),
+            F.round(
+                composite_score(
+                    sim, "created_at", "access_count", F.col("importance"),
+                    NOW_MS, cfg,
+                ),
+                6,
+            ).alias("composite"),
+        )
+        .orderBy(F.col("composite").desc(), F.col("memory_id").asc())
+        .limit(100)
+        .select(
+            F.lit("composite").alias("kind"),
+            "memory_id", "sim", "recency", "frequency", "composite",
+            F.lit(None).cast("double").alias("topology"),
+            F.lit(None).cast("double").alias("boosted"),
+        )
+    )
+
     topo = topology_aggregate(mem, edges).select(
         "memory_id",
         topology_score("entity_count", "shared_ratio").alias("topology"),
     )
     live = mem.where(F.col("expired_at").isNull())
-    scored = (
+    bscored = (
         live.select(
             F.col("id").alias("memory_id"), "embedding", "_pagerank", "_betweenness"
         )
@@ -179,15 +188,25 @@ def q_boost_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_betweenness"),
         0.2,
     )
-    return (
-        scored.select(
+    bpart = (
+        bscored.select(
             "memory_id",
             F.round("topology", 6).alias("topology"),
             F.round(boosted, 6).alias("boosted"),
         )
         .orderBy(F.col("boosted").desc(), F.col("memory_id").asc())
         .limit(100)
+        .select(
+            F.lit("boost").alias("kind"),
+            "memory_id",
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(None).cast("double").alias("recency"),
+            F.lit(None).cast("double").alias("frequency"),
+            F.lit(None).cast("double").alias("composite"),
+            "topology", "boosted",
+        )
     )
+    return cpart.unionByName(bpart).orderBy("kind", "memory_id")
 
 
 @query(

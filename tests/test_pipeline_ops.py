@@ -329,3 +329,54 @@ def test_near_dedup_keeps_all_when_no_dups(spark):
 
     kept = sorted(r["doc_id"] for r in near_dedup(df, "text", "doc_id").collect())
     assert kept == [1, 2, 3]
+
+
+def test_semdedup_keeps_one_farthest_per_group(spark):
+    # one cluster (centroid c0 = [1,0,0,0]): ids 1,2,3 are mutual
+    # near-dups (cos >= 0.9); the survivor must be the member FARTHEST
+    # from the centroid (id 3), not the lowest id. id 9 sits alone near
+    # the second centroid and survives untouched.
+    from grafeo_memory_spark.pipeline.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0], "a"),
+        (2, [1.0, 0.03, 0.0, 0.0], "b"),
+        (3, [0.9, 0.3, 0.0, 0.0], "c"),   # same group, lowest c_sim
+        (9, [0.0, 0.0, 1.0, 0.0], "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag string"
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    out = semdedup(df, cents, eps=0.9)
+    assert out.columns == df.columns  # schema preserved
+    assert sorted(r["vec_id"] for r in out.collect()) == [3, 9]
+
+
+def test_semdedup_no_pairs_is_identity(spark):
+    from grafeo_memory_spark.pipeline.dedup import semdedup
+
+    rows = [(1, [1.0, 0.0], "x"), (2, [0.0, 1.0], "y")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, tag string")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    kept = sorted(r["vec_id"] for r in semdedup(df, cents, eps=0.99).collect())
+    assert kept == [1, 2]
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from grafeo_memory_spark.pipeline.ann import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.1], 0),  # same label: excluded however similar
+        (2, [0.9, 0.2], 1),   # nearest different-label
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 2),   # farthest
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(
+        df, df.where("vec_id = 0"), k=2
+    ).orderBy("rank").collect()
+    assert [r["id"] for r in out] == [2, 3]
+    assert [r["rank"] for r in out] == [1, 2]
+    assert all(r["probe_id"] == 0 for r in out)
