@@ -109,6 +109,21 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
               f"tokens={r['n_tokens']} quality={r['quality']} "
               f"simhash={r['simhash']:#06x}")
 
+    # CCNet-style LM filtering: train a pruned bigram LM on a trusted
+    # slice, score every document map-only, split head/middle/tail
+    from grafeo_memory_spark.pipeline.lm import (
+        ccnet_buckets,
+        lm_perplexity,
+        lm_train,
+    )
+
+    model = lm_train(docs.where(F.col("source") == "src0"),
+                     max_vocab=1000, max_bigrams=10_000)
+    scored = ccnet_buckets(lm_perplexity(docs, model, id_col="doc_id"))
+    print("\nCCNet perplexity buckets:")
+    for r in scored.groupBy("lm_bucket").count().orderBy("lm_bucket").collect():
+        print(f"  {r['lm_bucket']}: {r['count']}")
+
     # the whole recipe as ONE call: clean → quality → exact → fuzzy →
     # decontaminate → mixture, with per-stage accounting
     from grafeo_memory_spark.pipeline.corpus import (

@@ -71,6 +71,27 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in pq_adc_topk(codes, books, qv, k=5).collect():
         print(f"  vec {r['id']}: dist {r['dist']:.4f}")
 
+    # semantic dedup (SemDeDup): cluster on the IVF codebook, drop
+    # within-cluster near-duplicates, keep the farthest-from-centroid
+    # member of each duplicate group
+    from grafeo_memory_spark.pipeline.dedup import semdedup
+
+    survivors = semdedup(emb, cents, eps=0.35)
+    print(f"\nSemDeDup: {emb.count()} vectors -> "
+          f"{survivors.count()} semantic survivors (eps=0.35)")
+
+    # hard-negative mining: per anchor, the most-similar vectors with
+    # a DIFFERENT label — the impostors a contrastive loss needs
+    from grafeo_memory_spark.pipeline.ann import hard_negatives
+
+    anchors = emb.where(F.col("vec_id").isin([0, 1]))
+    print("\nhard negatives (top-3 per anchor, label-mismatched):")
+    for r in hard_negatives(emb, anchors, k=3).orderBy(
+        "probe_id", "rank"
+    ).collect():
+        print(f"  anchor {r['probe_id']} #{r['rank']}: "
+              f"vec {r['id']} sim {r['sim']:.4f}")
+
 
 if __name__ == "__main__":
     main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

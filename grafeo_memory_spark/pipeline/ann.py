@@ -19,7 +19,6 @@ recall, more compute).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -55,13 +54,26 @@ def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Co
     """Sign-of-dot-product LSH signature packed into an int: bit i set
     iff dot(v, plane_i) > 0."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bits = [
-        F.when(
-            dot(v, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    return reduce(lambda a, b: a + b, bits)
+    # one Literal leaf for all planes; the signature folds as
+    # Σ bit_i·2^i with a (sum, place-value) accumulator — integer math
+    # identical to the former `reduce(add, 1<<i terms)` chain, but the
+    # plan stays O(1) in num_planes·dims AND the commutative add chain
+    # (quadratic to canonicalize when the signature becomes a join key)
+    # is gone
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits,
+        F.struct(F.lit(0).alias("s"), F.lit(1).alias("m")),
+        lambda acc, b: F.struct(
+            (acc["s"] + b * acc["m"]).alias("s"),
+            (acc["m"] * F.lit(2)).alias("m"),
+        ),
+        lambda acc: acc["s"],
+    )
 
 
 def planes_sql_literal(planes: list[list[float]]) -> list[str]:
@@ -137,32 +149,44 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign every row to its nearest (max-cosine) centroid — the IVF
-    inverted-list build. The codebook broadcasts as a Column literal;
-    the argmax folds inside codegen, so the build is one scan, no
-    shuffle. Output (id, v, centroid_id).
+    inverted-list build. The codebook ships as TWO Literal leaf nodes
+    (a nested array of vectors + a parallel id array), not one
+    ``F.lit`` per float: a per-element literal codebook makes the
+    expression tree O(n_centroids·dim) and Catalyst's canonicalization
+    / constraint inference goes quadratic on it the moment the argmax
+    column feeds a join key. Two leaves keep the plan O(1) no matter
+    the codebook size; the per-row argmax folds inside codegen, so the
+    build is one scan, no shuffle. Output (id, v, centroid_id
+    [, c_sim when ``with_sim``] ) — ``c_sim`` is the cosine to the
+    winning centroid, free out of the same argmax struct.
 
     At deployment scale, write the result partitioned/bucketed by
-    ``centroid_id``: probing then prunes whole files per list.
+    ``centroid_id``: probing then prunes whole files per list. Past
+    ~10⁷ codebook floats (100k clusters × 768 dims) the task-shipped
+    literal itself gets heavy; switch to a k-row broadcast join +
+    per-id max(struct) at that point.
     """
-    sims = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-                ).alias("sim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
+    cvs = F.lit([[float(x) for x in c] for _, c in centroids])
+    cids = F.lit([int(cid) for cid, _ in centroids])
+    sims = F.transform(
+        cvs,
+        lambda cv, i: F.struct(
+            cosine_similarity(F.col(vec_col), cv).alias("sim"),
+            F.element_at(cids, i + F.lit(1)).alias("cid"),
+        ),
     )
     best = F.array_max(sims)  # struct compare: sim first, cid tie-break
-    return table.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         best["cid"].alias("centroid_id"),
-    )
+    ]
+    if with_sim:
+        cols.append(best["sim"].alias("c_sim"))
+    return table.select(*cols)
 
 
 def ivf_topk(
@@ -415,32 +439,27 @@ def pq_encode(
     signed tinyint — a plain cast would overflow under ANSI mode for
     any c ≥ 128. ``pq_adc_topk`` undoes the offset; treat the code
     column as opaque."""
-    m, k = len(codebooks), len(codebooks[0])
+    m = len(codebooks)
     w = len(codebooks[0][0])
-    code = F.array(
-        *[
-            (
-                F.array_min(
-                    F.array(
-                        *[
-                            F.struct(
-                                _sq_l2(
-                                    F.slice(F.col(vec_col), j * w + 1, w),
-                                    F.array(
-                                        *[F.lit(x) for x in codebooks[j][c]]
-                                    ),
-                                ).alias("d"),
-                                F.lit(c).alias("c"),
-                            )
-                            for c in range(k)
-                        ]
-                    )
-                )["c"]
-                - F.lit(128)
-            ).cast("tinyint")
-            for j in range(m)
-        ]
-    )
+
+    def sub_code(j: int) -> Column:
+        # one Literal leaf per subspace codebook (k×w nested array), not
+        # k·w F.lit nodes: keeps the plan O(m) regardless of k and w —
+        # at the standard m=8, k=256 a per-element literal tree is
+        # ~16k nodes and Catalyst's canonicalization goes quadratic
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        sub = F.slice(F.col(vec_col), j * w + 1, w)
+        best = F.array_min(
+            F.transform(
+                cb,
+                lambda cv, i: F.struct(
+                    _sq_l2(sub, cv).alias("d"), i.alias("c")
+                ),
+            )
+        )
+        return (best["c"] - F.lit(128)).cast("tinyint")
+
+    code = F.array(*[sub_code(j) for j in range(m)])
     return table.select(F.col(id_col).alias("id"), code.alias("code"))
 
 
@@ -470,9 +489,8 @@ def pq_adc_topk(
         ]
         for j in range(m)
     ]
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
-    )
+    # single Literal leaf (m×k nested array) — O(1) plan nodes
+    lut_lit = F.lit([[float(d) for d in row] for row in lut])
     dist = F.aggregate(
         F.zip_with(
             lut_lit,

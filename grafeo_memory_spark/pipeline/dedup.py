@@ -532,33 +532,31 @@ def semdedup(
     from grafeo_memory_spark.functions.vector import cosine_similarity
     from grafeo_memory_spark.pipeline.ann import ivf_assign
 
-    assigned = ivf_assign(table, centroids, vec_col=vec_col, id_col=id_col)
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(cid) for cid, _ in centroids]),
-        F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in centroids]
-        ),
-    )
-    scored = assigned.select(
-        "id",
-        "v",
-        "centroid_id",
-        cosine_similarity(
-            F.col("v"), F.element_at(cmap, F.col("centroid_id"))
-        ).alias("c_sim"),
-    )
+    # One map-only scan produces assignment AND centroid-cosine: the
+    # winning struct of ivf_assign's argmax already carries the sim, so
+    # no centroid re-lookup (join or map literal) is needed at all.
+    # Materialize it once: it feeds BOTH sides of the pair join and the
+    # representative pass, so without the checkpoint the assignment
+    # scan re-runs three times and the self-join duplicates its plan.
+    # In a production IVF build this table is persisted partitioned by
+    # centroid_id anyway.
+    scored = ivf_assign(
+        table, centroids, vec_col=vec_col, id_col=id_col, with_sim=True
+    ).localCheckpoint(eager=True)
     a = scored.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), "centroid_id"
     )
     b = scored.select(
         F.col("id").alias("id_b"), F.col("v").alias("v_b"), "centroid_id"
     )
+    # materialize the (small) pair set before the component loop so the
+    # iterative min-label rounds don't re-derive the join+cosine plan
     pairs = (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine_similarity("v_a", "v_b") >= eps)
         .select("id_a", "id_b")
-    )
+    ).localCheckpoint(eager=True)
     clusters = dedup_clusters(pairs)
     reps = (
         clusters.join(scored.select("id", "c_sim"), "id")
