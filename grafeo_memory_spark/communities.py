@@ -20,6 +20,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from grafeo_memory_spark.store import COMMUNITY_SCHEMA, EDGE_SCHEMA, Store
 
@@ -275,18 +276,77 @@ def get_community_context(
 
 
 def connected_components(
-    edges_sym: DataFrame, max_iter: int = 50
+    edges_sym: DataFrame,
+    max_iter: int = 50,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: component id = min node id
     reachable (deterministic, so SQL-checkable via a recursive-CTE
     closure). ``edges_sym`` carries (node_id, nbr) one row per directed
     neighbor; callers symmetrize.
 
-    Scale shape: each round is one join + one min-agg on node_id, with
-    eager ``localCheckpoint`` to keep lineage flat (same loop shape as
-    pagerank/LPA in graph/algorithms.py) and an early exit when no label
-    changed. Rounds needed = graph diameter, not |V|.
+    Size-gated fast path: when the edge list is at most
+    ``driver_edge_threshold`` rows it is collected and solved with
+    driver-side union-find (then each root relabelled to its
+    component's min id — the identical fixpoint). This is the common
+    case by construction: every caller feeds VERIFIED near-dup pairs,
+    already reduced from the corpus by banding + thresholding, and a
+    ≤10⁶-row bounded collect is the same pattern as the codebook and
+    quotient pulls elsewhere. Above the threshold (or with the gate
+    disabled via ``driver_edge_threshold=0``) the distributed loop
+    below runs unchanged — that is the 100-TB path, and the two paths
+    agree bit-for-bit. The gate costs one count() — callers checkpoint
+    the pair set first, so it reads materialized blocks.
+
+    Scale shape: each round is a neighbor-min join + agg PLUS a
+    pointer-jumping join (``component[component[x]]`` — the hash-to-min
+    trick from Rastogi et al. 2013's MapReduce CC family), with eager
+    ``localCheckpoint`` to keep lineage flat (same loop shape as
+    pagerank/LPA in graph/algorithms.py) and an early exit when no
+    label changed. Neighbor-min alone needs diameter rounds — a chainy
+    dup graph (SemDeDup at loose eps) measurably burns 16+ — while the
+    jump doubles propagation depth per round, so rounds ~ log(diameter).
+    The jump is safe because a label is always the id of a node inside
+    the same component, so ``least`` over it stays monotone and can
+    never undershoot the component's true min id (the fixpoint the
+    recursive-CTE oracle checks is unchanged).
     """
+    if driver_edge_threshold and edges_sym.count() <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges_sym.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        out = [(node, comp_min[find(node)]) for node in parent]
+        id_type = edges_sym.schema[0].dataType
+        return edges_sym.sparkSession.createDataFrame(
+            out,
+            T.StructType(
+                [
+                    T.StructField("node_id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
+        )
+
     labels = (
         edges_sym.select("node_id")
         .union(edges_sym.select(F.col("nbr").alias("node_id")))
@@ -302,13 +362,27 @@ def connected_components(
         )
         # old label rides the update so the fixpoint check is a plain
         # filter — no old-vs-new join per round
-        new_labels = (
+        cand = (
             labels.select("node_id", F.col("component").alias("_c_old"))
             .join(nbr_min, "node_id", "left")
             .select(
                 "node_id",
                 F.least(
                     F.col("_c_old"), F.coalesce("_nbr_comp", "_c_old")
+                ).alias("_cand"),
+                "_c_old",
+            )
+        )
+        parents = labels.select(
+            F.col("node_id").alias("_cand"),
+            F.col("component").alias("_parent"),
+        )
+        new_labels = (
+            cand.join(parents, "_cand", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("_cand"), F.coalesce("_parent", "_cand")
                 ).alias("component"),
                 "_c_old",
             )
