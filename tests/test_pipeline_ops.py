@@ -304,6 +304,31 @@ def test_dedup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_paths_agree(spark):
+    # the size-gated driver union-find and the distributed min-label
+    # loop must produce the identical (node, component) fixpoint — a
+    # 40-node chain plus a clique plus singleton pairs exercises long
+    # diameters (pointer-jumping path) and dense merges (union-find)
+    from grafeo_memory_spark.communities import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(200, 201), (300, 301)]
+    )
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "node_id long, nbr long"
+    )
+    fast = {(r[0], r[1]) for r in connected_components(sym).collect()}
+    slow = {
+        (r[0], r[1])
+        for r in connected_components(sym, driver_edge_threshold=0).collect()
+    }
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[40] == 0 and comp[104] == 100 and comp[301] == 300
+
+
 def test_near_dedup_end_to_end(docs):
     # 1/2/3/4 form one fuzzy cluster (exact dups + near dup), 5 stands
     # alone: survivors = min-id of the cluster + the singleton
