@@ -12,7 +12,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k", "top_k_per_group", "latest_per_group", "drop_newest"]
+__all__ = [
+    "top_k",
+    "top_k_per_group",
+    "latest_per_group",
+    "drop_newest",
+    "sessionize",
+]
 
 
 def top_k(
@@ -91,6 +97,52 @@ def drop_newest(
         .where(F.struct(*key_cols) < F.col("_boundary"))
         .drop("_boundary")
         .orderBy(F.col(ts_col).asc())
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: Column | int | float,
+    *,
+    tiebreak: str | None = None,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    whenever the time since the previous row exceeds ``gap`` (strictly
+    greater; equal-to-gap rows stay in the session). Adds ``session_col``
+    — a 1-based per-key session sequence number, so (keys..., session)
+    is a stable session identifier. Mirrors the reference's session
+    chaining (`manager.py` `_link_session_chain`), which links
+    consecutive memories into an episode; here the chain additionally
+    SPLITS on inactivity — the classic event-analytics session window.
+
+    ``gap`` is in the units of a numeric ``ts_col`` (the fixtures ship
+    epoch-nanosecond longs), or an INTERVAL Column for timestamps.
+
+    Scale shape: lag + cumulative sum over one ``(keys, ts)`` window —
+    a single shuffle on the key, each partition sorted once; batch twin
+    of Structured Streaming's ``session_window`` (streaming/sessions.py).
+    """
+    gap_c = gap if isinstance(gap, Column) else F.lit(gap)
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap_c), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # two selects: window functions can't nest, but both windows share
+    # (keys, order) so Catalyst plans ONE shuffle + one sort
+    return (
+        df.withColumn("_new_session", is_new)
+        .withColumn(session_col, F.sum("_new_session").over(cum))
+        .drop("_new_session")
     )
 
 

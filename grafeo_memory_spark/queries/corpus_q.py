@@ -298,6 +298,20 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id ASC) AS rn
       FROM documents
     ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'mixture' AS kind, doc_id, source FROM documents
+    JOIN (
+      WITH w(d, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+      nw AS (SELECT d, wt / (SELECT sum(wt) FROM w) AS nwt FROM w),
+      avail AS (
+        SELECT source AS d, CAST(count(*) AS DOUBLE) AS a
+        FROM documents GROUP BY source
+      ),
+      tt AS (SELECT min(a / nwt) AS t FROM avail JOIN nw USING (d))
+      SELECT nw.d, nw.nwt * tt.t / avail.a AS f
+      FROM nw JOIN avail USING (d) CROSS JOIN tt
+    ) fr ON fr.d = source
+    WHERE {_u_sql(3)} < fr.f
     ORDER BY kind, doc_id
     """,
 )
@@ -316,7 +330,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     'cap' — deterministic per-key cap (`pipeline/sampling.take_per_key`,
     k=3 per source): rows ordered within each key by md5(id:salt), the
     stable pseudo-random balance cap. One shuffle on the key — the same
-    shuffle a balanced shard write needs anyway."""
+    shuffle a balanced shard write needs anyway.
+
+    'mixture' — domain-mixture sampling (`pipeline/sampling.
+    mixture_sample`, folded in from its own former row to free a
+    registry slot for `asof_join`): solve the largest feasible total T
+    with per-domain shares 0.5 / 0.3 / 0.2 over src0/src1/src2 (closed
+    form from a |domains|-row aggregate, nothing else touches the
+    corpus), then apply the deterministic md5 Bernoulli per domain.
+    The oracle replays the whole thing — availability aggregate,
+    feasibility min, fraction arithmetic in the same operation order,
+    and the exact row selection."""
     docs = load_table(spark, sf_dir, "documents")
     strat = stratified_sample(
         docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.125},
@@ -325,43 +349,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = take_per_key(
         docs, "source", 3, id_col="doc_id", salt=7
     ).select(F.lit("cap").alias("kind"), "doc_id", "source")
-    return strat.unionByName(cap).orderBy("kind", "doc_id")
-
-
-@query(
-    "mixture_sample",
-    oracle=f"""
-    WITH w(d, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
-    nw AS (SELECT d, wt / (SELECT sum(wt) FROM w) AS nwt FROM w),
-    avail AS (
-      SELECT source AS d, CAST(count(*) AS DOUBLE) AS a
-      FROM documents GROUP BY source
-    ),
-    tt AS (SELECT min(a / nwt) AS t FROM avail JOIN nw USING (d)),
-    fr AS (
-      SELECT nw.d, nw.nwt * tt.t / avail.a AS f
-      FROM nw JOIN avail USING (d) CROSS JOIN tt
-    )
-    SELECT doc_id, source FROM documents JOIN fr ON fr.d = source
-    WHERE {_u_sql(3)} < fr.f
-    ORDER BY doc_id
-    """,
-)
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture sampling (`pipeline/sampling.mixture_sample`):
-    solve the largest feasible total T with per-domain shares 0.5 / 0.3
-    / 0.2 over src0/src1/src2 (closed form from a |domains|-row
-    aggregate, nothing else touches the corpus), then apply the
-    deterministic md5 Bernoulli per domain. The oracle replays the
-    whole thing — availability aggregate, feasibility min, fraction
-    arithmetic in the same operation order, and the exact row
-    selection."""
-    docs = load_table(spark, sf_dir, "documents")
-    out = mixture_sample(
+    mix = mixture_sample(
         docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         id_col="doc_id", salt=3,
+    ).select(F.lit("mixture").alias("kind"), "doc_id", "source")
+    return (
+        strat.unionByName(cap).unionByName(mix).orderBy("kind", "doc_id")
     )
-    return out.select("doc_id", "source").orderBy("doc_id")
 
 
 @query(

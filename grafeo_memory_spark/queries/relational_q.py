@@ -23,9 +23,11 @@ from grafeo_memory_spark.operators.filters import (
     time_range,
     valid_at_point,
 )
+from grafeo_memory_spark.operators.asof import asof_join
 from grafeo_memory_spark.operators.windows import (
     drop_newest,
     latest_per_group,
+    sessionize,
     top_k,
     top_k_per_group,
 )
@@ -262,19 +264,40 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "group_by_session",
     oracle="""
-    SELECT user_id,
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM lagged
+    )
+    SELECT user_id, session_seq,
            count(*) AS n_events,
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us,
            round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
     """,
 )
 def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 — group-by-session rollup (`manager.py:1571-1583`), session key
-    = user_id on the events stream table.
+    """A2 — group-by-session rollup (`manager.py:1571-1583`), upgraded
+    from a plain per-user rollup to real gap sessionization
+    (`operators/windows.sessionize`, 30-minute inactivity gap): a
+    user's events split into sessions wherever the gap to the previous
+    event exceeds 30 minutes, and the rollup groups by
+    (user_id, session_seq). The two window passes and the aggregation
+    all share one shuffle on user_id.
 
     ``ts`` has shipped as both epoch-nanosecond longs (older fixtures,
     read via tables.py nanosAsLong) and native timestamp[us]; branch on
@@ -283,9 +306,11 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's epoch_us() on naive timestamps."""
     ev = load_table(spark, sf_dir, "events")
     if isinstance(ev.schema["ts"].dataType, T.LongType):
+        gap = F.lit(30 * 60 * 1_000_000_000)  # 30 min in nanos
         first = F.expr("min(ts) div 1000").alias("first_us")
         last = F.expr("max(ts) div 1000").alias("last_us")
     else:
+        gap = F.expr("INTERVAL 30 MINUTES")
         epoch_us = (
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
             " {c}(ts))"
@@ -293,15 +318,79 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         first = F.expr(epoch_us.format(c="min")).alias("first_us")
         last = F.expr(epoch_us.format(c="max")).alias("last_us")
     return (
-        ev.groupBy("user_id")
+        sessionize(ev, ["user_id"], "ts", gap, tiebreak="event_id")
+        .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             first,
             last,
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .orderBy("user_id")
+        .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           round(p.value, 4) AS purchase_value,
+           round(c.click_value, 4) AS click_value,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (`operators/asof.asof_join`): every
+    purchase event picks up the value and timestamp of that user's
+    latest click at-or-before the purchase — the feature-store lookup
+    pattern ("most recent signal as of the label's time", leakage-free
+    by construction). The right side is pre-deduped to one row per
+    (user_id, ts) so both engines' tie handling is vacuous; DuckDB's
+    native ASOF LEFT JOIN (inclusive >= semantics, reproduced by the
+    union-trick window) is the oracle.
+
+    Scale shape: ONE shuffle of |purchases|+|clicks| rows on user_id —
+    never a per-key range explosion (`operators/asof.py` docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def ts_us(c: str):
+        if isinstance(ev.schema["ts"].dataType, T.LongType):
+            return F.expr(f"{c} div 1000")
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        )
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        F.round("value", 4).alias("purchase_value"),
+        F.round("click_value", 4).alias("click_value"),
+        ts_us("ts_matched_asof").alias("click_ts_us"),
+    ).orderBy("event_id")
 
 
 @query(

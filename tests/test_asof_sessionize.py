@@ -1,0 +1,135 @@
+"""as-of join and gap sessionization — semantics pinned against DuckDB
+(native ASOF JOIN / nested-window SQL) plus edge cases the driver row
+can't see (tolerance, suffixing, empty right side, singleton sessions).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from grafeo_memory_spark.operators.asof import asof_join
+from grafeo_memory_spark.operators.windows import sessionize
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 1, 10.0), (2, 8, 80.0)],
+        "k long, ts long, v double",
+    )
+    return left, right
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof(self, spark):
+        left, right = _asof_fixture(spark)
+        got = {
+            (r["k"], r["ts"]): (r["v"], r["ts_matched_asof"])
+            for r in asof_join(left, right, on="k", ts_col="ts").collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE l AS SELECT * FROM (VALUES (1,10),(1,20),(1,5),"
+            "(2,7),(3,9)) t(k, ts)"
+        )
+        con.execute(
+            "CREATE TABLE r AS SELECT * FROM (VALUES (1,10,100.0),"
+            "(1,15,150.0),(1,1,10.0),(2,8,80.0)) t(k, ts, v)"
+        )
+        want = {
+            (k, ts): (float(v) if v is not None else None, mts)
+            for k, ts, v, mts in con.sql(
+                "SELECT l.k, l.ts, r.v, r.ts FROM l ASOF LEFT JOIN r "
+                "ON l.k = r.k AND l.ts >= r.ts"
+            ).fetchall()
+        }
+        assert got == want
+        # the inclusive tie: left ts=10 matches right ts=10, not ts=1
+        assert got[(1, 10)] == (100.0, 10)
+
+    def test_row_count_and_schema_preserved(self, spark):
+        left, right = _asof_fixture(spark)
+        out = asof_join(left, right, on="k", ts_col="ts")
+        assert out.count() == left.count()
+        assert out.columns[: len(left.columns)] == left.columns
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        left, right = _asof_fixture(spark)
+        got = {
+            (r["k"], r["ts"]): r["v"]
+            for r in asof_join(
+                left, right, on="k", ts_col="ts", tolerance=4
+            ).collect()
+        }
+        # ts=20's nearest click is ts=15: within 5, outside 4 → nulled
+        assert got[(1, 20)] is None
+        # ts=5's match at ts=1 is exactly at the tolerance edge → kept
+        assert got[(1, 5)] == 10.0
+
+    def test_collision_suffix(self, spark):
+        left = spark.createDataFrame([(1, 10, 0.5)], "k long, ts long, v double")
+        right = spark.createDataFrame([(1, 3, 9.0)], "k long, ts long, v double")
+        out = asof_join(left, right, on="k", ts_col="ts")
+        row = out.collect()[0]
+        assert row["v"] == 0.5 and row["v_asof"] == 9.0
+
+    def test_empty_right_side(self, spark):
+        left, right = _asof_fixture(spark)
+        out = asof_join(
+            left, right.where(F.lit(False)), on="k", ts_col="ts"
+        )
+        assert out.count() == left.count()
+        assert all(r["v"] is None for r in out.collect())
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, 0, 100),
+                (1, 10, 101),
+                (1, 50, 102),  # gap 40 > 30 → new session
+                (1, 55, 103),
+                (2, 0, 200),  # separate key
+            ],
+            "user long, ts long, eid long",
+        )
+        got = {
+            r["eid"]: r["session_seq"]
+            for r in sessionize(
+                ev, ["user"], "ts", 30, tiebreak="eid"
+            ).collect()
+        }
+        assert got == {100: 1, 101: 1, 102: 2, 103: 2, 200: 1}
+
+    def test_gap_boundary_is_exclusive(self, spark):
+        # a gap exactly equal to the threshold stays in the session
+        ev = spark.createDataFrame(
+            [(1, 0, 1), (1, 30, 2), (1, 61, 3)], "user long, ts long, eid long"
+        )
+        got = {
+            r["eid"]: r["session_seq"]
+            for r in sessionize(ev, ["user"], "ts", 30, tiebreak="eid").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2}
+
+    def test_schema_appends_single_column(self, spark):
+        ev = spark.createDataFrame([(1, 0, 1)], "user long, ts long, eid long")
+        out = sessionize(ev, ["user"], "ts", 30)
+        assert out.columns == ["user", "ts", "eid", "session_seq"]
+
+    def test_one_shuffle_for_both_windows(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 0, 1), (1, 10, 2)], "user long, ts long, eid long"
+        )
+        plan = (
+            sessionize(ev, ["user"], "ts", 30, tiebreak="eid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
