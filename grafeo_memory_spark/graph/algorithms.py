@@ -31,6 +31,9 @@ __all__ = [
     "louvain",
     "modularity",
     "betweenness_centrality",
+    "triangle_count",
+    "adamic_adar",
+    "k_core",
 ]
 
 
@@ -629,3 +632,162 @@ def betweenness_centrality(
             "betweenness", F.col("betweenness") / ((n - 1) * (n - 2) / 2.0)
         )
     return out
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph;
+    returns (node_id, triangles) for every node in at least one
+    triangle. Graph-engine staple the reference delegates to its closed
+    engine's analytics tier; here it is three joins.
+
+    Scale shape — degree-ordered orientation (the node-iterator++ /
+    "compact-forward" algorithm): every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-degree is bounded by O(sqrt(|E|)) on any graph, and the
+    wedge join (out-nbrs x out-nbrs per node) — the step that explodes
+    on hubs in the naive id-ordered formulation — stays near-linear.
+    Two shuffles (degree agg + wedge groupBy-join); the closing-edge
+    probe is an equi-join against the oriented edge list. Triangle sets
+    are orientation-invariant, so the DuckDB oracle may replay the
+    simpler id-ordered SQL and must agree bit-for-bit.
+    """
+    und = _undirected(edges).where(F.col("src") != F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("d"))
+    canon = und.where(F.col("src") < F.col("dst"))
+    oriented = (
+        canon.join(deg.withColumnRenamed("n", "src"), "src")
+        .withColumnRenamed("d", "d_src")
+        .join(
+            deg.select(F.col("n").alias("dst"), F.col("d").alias("d_dst")),
+            "dst",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("d_src"), F.col("src"))
+                < F.struct(F.col("d_dst"), F.col("dst")),
+                F.struct(
+                    F.col("src").alias("u"),
+                    F.col("dst").alias("v"),
+                    F.col("d_dst").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("dst").alias("u"),
+                    F.col("src").alias("v"),
+                    F.col("d_src").alias("dv"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.dv")
+    )
+    lo = oriented.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
+    hi = oriented.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    wedges = (
+        lo.join(hi, "u")
+        .where(
+            F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+        )
+        .select("u", "a", "b")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+    )
+    corners = (
+        tris.select(F.col("u").alias("node_id"))
+        .unionAll(tris.select(F.col("a").alias("node_id")))
+        .unionAll(tris.select(F.col("b").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(F.count("*").alias("triangles"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int | None = None,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for every NON-adjacent pair (a, b), score
+    ``sum over z in N(a) ∩ N(b) of 1/ln(deg(z))`` — the classic
+    common-neighbor predictor of which relations an entity graph is
+    missing. Returns (node_a, node_b, aa_score) with node_a < node_b,
+    top_k by (score desc, pair asc) when requested.
+
+    Scale shape: the wedge expansion through z costs sum(deg(z)^2) —
+    the hub z is the skew hazard, and ``max_hub_degree`` is the
+    explicit guard (drop centers above the cap; a hub's per-pair weight
+    1/ln(deg) is the smallest signal in the sum, the same df_cap
+    rationale as the Jaccard join's hot-shingle cap). One shuffle for
+    degrees, one wedge self-join keyed on z, one pair aggregation, and
+    an anti-join against the edge list so only predicted (absent) links
+    emit.
+    """
+    und = _undirected(edges).where(F.col("src") != F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("d"))
+    ctr = und.select(F.col("src").alias("z"), F.col("dst").alias("x")).join(
+        deg, "z"
+    )
+    if max_hub_degree is not None:
+        ctr = ctr.where(F.col("d") <= max_hub_degree)
+    a = ctr.select("z", F.col("x").alias("node_a"), "d")
+    b = ctr.select("z", F.col("x").alias("node_b"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.sum(F.lit(1.0) / F.log(F.col("d"))).alias("aa_score"))
+    )
+    absent = pairs.join(
+        und.select(
+            F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+        ),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    if top_k is not None:
+        absent = absent.orderBy(
+            F.col("aa_score").desc(), F.col("node_a").asc(),
+            F.col("node_b").asc(),
+        ).limit(top_k)
+    return absent
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree
+    >= k, found by iterative peeling (drop all nodes under k, recompute
+    degrees, repeat to the unique fixpoint — order-independent).
+    Returns (node_id, core_degree): the surviving nodes and their
+    degree inside the core. The training-data reading: a k-core over a
+    near-dup graph isolates templated boilerplate families; over an
+    entity graph it is the dense backbone.
+
+    Per round: one degree aggregation + one semi-join filter, eager
+    ``localCheckpoint`` to flatten lineage (the pagerank/LPA loop
+    shape); rounds needed = peel depth, typically far below diameter.
+    """
+    cur = (
+        _undirected(edges)
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = cur.groupBy(F.col("src").alias("n")).agg(
+            F.count("*").alias("core_degree")
+        )
+        keep = deg.where(F.col("core_degree") >= k)
+        nxt = (
+            cur.join(
+                keep.select(F.col("n").alias("src")), "src", "left_semi"
+            )
+            .join(keep.select(F.col("n").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return cur.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("core_degree")
+    )

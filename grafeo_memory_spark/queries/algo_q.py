@@ -400,3 +400,119 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round("betweenness", 6).desc(), F.col("node_id").asc())
         .limit(25)
     )
+
+
+def _k_core_oracle_rounds(k: int, rounds: int) -> str:
+    """Unrolled peel rounds c1..cN — same fixed-iteration trick as the
+    pagerank CTE chain: the measured peel depth at sf0.01 is 5, and a
+    stable fixpoint makes extra rounds no-ops, so 7 rounds pin the
+    distributed loop's fixpoint exactly."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT src, dst FROM c{i-1}
+      WHERE src IN (SELECT src FROM c{i-1} GROUP BY src
+                    HAVING count(*) >= {k})
+        AND dst IN (SELECT src FROM c{i-1} GROUP BY src
+                    HAVING count(*) >= {k}))""")
+    return ",".join(steps)
+
+
+@query(
+    "graph_metrics",
+    oracle=f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM {_EDG} WHERE edge_type = 'RELATION'
+        UNION ALL
+        SELECT dst, src FROM {_EDG} WHERE edge_type = 'RELATION')
+      WHERE src <> dst),
+    canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+    tris AS MATERIALIZED (
+      SELECT x.a AS u, x.b AS v, y.b AS w
+      FROM canon x JOIN canon y ON x.b = y.a
+      JOIN canon z ON z.a = x.a AND z.b = y.b),
+    tri AS (
+      SELECT n, CAST(count(*) AS DOUBLE) AS s FROM (
+        SELECT u AS n FROM tris UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris) GROUP BY n),
+    deg AS MATERIALIZED (
+      SELECT src AS z, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY src),
+    ctr AS MATERIALIZED (
+      SELECT u.src AS z, u.dst AS x, deg.d FROM und u
+      JOIN deg ON deg.z = u.src),
+    aa AS (
+      SELECT node_a, node_b, round(aa_score, 6) AS s FROM (
+        SELECT a.x AS node_a, b.x AS node_b, sum(1.0 / ln(a.d)) AS aa_score
+        FROM ctr a JOIN ctr b ON a.z = b.z AND a.x < b.x GROUP BY 1, 2) p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und WHERE src = node_a AND dst = node_b)
+      ORDER BY aa_score DESC, node_a, node_b LIMIT 20),
+    c0 AS MATERIALIZED (SELECT src, dst FROM und),
+    {_k_core_oracle_rounds(3, 7)},
+    core AS (
+      SELECT src AS n, CAST(count(*) AS DOUBLE) AS s FROM c7 GROUP BY src)
+    SELECT 'tri' AS kind, n AS node_a, CAST(NULL AS BIGINT) AS node_b,
+           s AS score
+    FROM tri
+    UNION ALL
+    SELECT 'aa' AS kind, node_a, node_b, s AS score FROM aa
+    UNION ALL
+    SELECT 'core3' AS kind, n AS node_a, CAST(NULL AS BIGINT) AS node_b,
+           s AS score
+    FROM core
+    ORDER BY kind, node_a, node_b
+    """,
+)
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural graph metrics over the RELATION entity graph, three
+    tagged parts in one driver row (slot freed by folding X3
+    json-extract into `filter_ops`):
+
+    'tri' — per-node triangle counts (`graph/algorithms.triangle_count`,
+    degree-ordered orientation so hub wedges don't explode; the oracle
+    replays the simpler id-ordered SQL — triangle sets are
+    orientation-invariant, so agreement is exact).
+
+    'aa' — top-20 Adamic-Adar link predictions over non-adjacent pairs
+    (`graph/algorithms.adamic_adar`): the relations an entity graph is
+    most likely missing, the reference's "suggest related memories"
+    analytics surface.
+
+    'core3' — the 3-core (`graph/algorithms.k_core`, iterative peeling
+    to the unique fixpoint; oracle unrolls 7 rounds over the measured
+    peel depth of 5) with each member's in-core degree.
+    """
+    from grafeo_memory_spark.graph.algorithms import (
+        adamic_adar,
+        k_core,
+        triangle_count,
+    )
+
+    edges = (
+        load_fixture(spark, sf_dir, "edges")
+        .where(F.col("edge_type") == "RELATION")
+        .select("src", "dst")
+    )
+    tri = triangle_count(edges).select(
+        F.lit("tri").alias("kind"),
+        F.col("node_id").alias("node_a"),
+        F.lit(None).cast("long").alias("node_b"),
+        F.col("triangles").cast("double").alias("score"),
+    )
+    aa = adamic_adar(edges, top_k=20).select(
+        F.lit("aa").alias("kind"),
+        "node_a",
+        "node_b",
+        F.round("aa_score", 6).alias("score"),
+    )
+    core = k_core(edges, 3).select(
+        F.lit("core3").alias("kind"),
+        F.col("node_id").alias("node_a"),
+        F.lit(None).cast("long").alias("node_b"),
+        F.col("core_degree").cast("double").alias("score"),
+    )
+    return tri.unionByName(aa).unionByName(core).orderBy(
+        "kind", "node_a", "node_b"
+    )

@@ -51,16 +51,26 @@ from grafeo_memory_spark.sources.tables import load_table
       AND p_type IS NOT NULL AND contains(p_type, 'O')
       AND (p_retailprice IS NULL OR p_retailprice <> 0.0)
       AND p_partkey NOT IN (1, 2, 3)
-    ORDER BY kind, id
+    UNION ALL
+    SELECT 'json' AS kind, count(*) AS id, event_type AS name,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                          AS BIGINT)), 4) AS val
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 50
+    GROUP BY event_type
+    ORDER BY kind, id, name
     """,
 )
 def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + F2 in one driver row (merged to free registry slots for the
-    corpus ops, VERDICT r4 item 1): the conjunctive equality scope
-    filter (`manager.py:164-175`) tagged 'scope', unioned with the
-    Mongo-style `$op` predicate compiler
-    (`search/vector.py:351-381`: $gte/$lt/$in/$contains/$ne/$nin)
-    tagged 'ops'. Both predicate sets push down to their Parquet scans.
+    """F1 + F2 + X3 in one driver row (F1/F2 merged in r4 to free
+    registry slots; X3 folded in this round to free the
+    `graph_metrics` slot): the conjunctive equality scope filter
+    (`manager.py:164-175`) tagged 'scope', the Mongo-style `$op`
+    predicate compiler (`search/vector.py:351-381`:
+    $gte/$lt/$in/$contains/$ne/$nin) tagged 'ops', and JSON-encoded
+    property extraction + predicate + rollup (`metadata` parse,
+    `search/vector.py:422-433`, regex form shared with the oracle)
+    tagged 'json'. All predicate sets push down to their Parquet scans.
     """
     cust = load_table(spark, sf_dir, "customer")
     scope = cust.where(
@@ -87,7 +97,24 @@ def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("name"),
         F.col("p_size").cast("double").alias("val"),
     )
-    return scope.unionByName(ops).orderBy("kind", "id")
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    json_part = (
+        ev.withColumn("k", k)
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("id"), F.round(F.avg("k"), 4).alias("val"))
+        .select(
+            F.lit("json").alias("kind"),
+            "id",
+            F.col("event_type").alias("name"),
+            "val",
+        )
+    )
+    return (
+        scope.unionByName(ops).unionByName(json_part)
+        .orderBy("kind", "id", "name")
+    )
 
 
 @query(
@@ -437,32 +464,6 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select(F.lit("missing").alias("kind"), F.col("c_custkey").alias("key"))
     return dedupe.unionByName(semi).unionByName(anti).orderBy("kind", "key")
-
-
-@query(
-    "json_extract",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k
-    FROM events
-    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 50
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 — JSON-encoded property extraction (`metadata` parse,
-    `search/vector.py:422-433`), regex form shared with the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
-    return (
-        ev.withColumn("k", k)
-        .where(F.col("k") > 50)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
-        .orderBy("event_type")
-    )
 
 
 @query(

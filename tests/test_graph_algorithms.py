@@ -146,3 +146,73 @@ def test_louvain_label_fixture_is_fresh(spark):
         for r in louvain(edges, max_iter=10).collect()
     }
     assert stored == fresh
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (each node in C(3,2)=3 triangles) plus a pendant
+    # edge (5) and an isolated triangle {6,7,8}
+    from grafeo_memory_spark.graph.algorithms import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (6, 7), (7, 8), (6, 8)],
+        "src long, dst long",
+    )
+    got = {r["node_id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    # reversed + duplicated edges must not create extra triangles
+    from grafeo_memory_spark.graph.algorithms import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r["node_id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_adamic_adar_scores(spark):
+    # path 1-2-3: only non-adjacent pair is (1,3) via center 2 with
+    # deg 2 → score 1/ln(2); star center 10 with leaves 11,12,13 →
+    # each leaf pair scores 1/ln(3)
+    import math
+
+    from grafeo_memory_spark.graph.algorithms import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r["aa_score"]
+        for r in adamic_adar(edges).collect()
+    }
+    assert set(got) == {(1, 3), (11, 12), (11, 13), (12, 13)}
+    assert got[(1, 3)] == pytest.approx(1 / math.log(2))
+    assert got[(11, 12)] == pytest.approx(1 / math.log(3))
+
+
+def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
+    from grafeo_memory_spark.graph.algorithms import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13)], "src long, dst long"
+    )
+    assert adamic_adar(edges, max_hub_degree=2).count() == 0
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    # K4 {1..4} is the 3-core; the tail 4-5-6 and the pendant on 5 all
+    # peel away (5 transiently has degree 2 — multiple rounds needed)
+    from grafeo_memory_spark.graph.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (5, 7)],
+        "src long, dst long",
+    )
+    got = {r["node_id"]: r["core_degree"] for r in k_core(edges, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everything with an edge
+    assert k_core(edges, 1).count() == 7
