@@ -23,6 +23,7 @@ EXAMPLES = [
     "similarity_search",
     "communities",
     "temporal_bench",
+    "event_analytics",
 ]
 
 sys.path.insert(
