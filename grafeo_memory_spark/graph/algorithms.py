@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "pagerank",
@@ -754,7 +755,12 @@ def adamic_adar(
     return absent
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    driver_edge_threshold: int = 1_000_000,
+) -> DataFrame:
     """The k-core: the maximal subgraph where every node has degree
     >= k, found by iterative peeling (drop all nodes under k, recompute
     degrees, repeat to the unique fixpoint — order-independent).
@@ -763,15 +769,54 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     near-dup graph isolates templated boilerplate families; over an
     entity graph it is the dense backbone.
 
-    Per round: one degree aggregation + one semi-join filter, eager
-    ``localCheckpoint`` to flatten lineage (the pagerank/LPA loop
-    shape); rounds needed = peel depth, typically far below diameter.
+    Size-gated like ``communities.connected_components``: at most
+    ``driver_edge_threshold`` undirected edges are collected and peeled
+    driver-side (the peel is a unique, order-independent fixpoint, so
+    the two paths agree exactly; parity pinned in tests). The
+    distributed loop below is the at-scale path — per round one degree
+    aggregation + one semi-join filter with eager ``localCheckpoint``
+    to flatten lineage (the pagerank/LPA loop shape); rounds needed =
+    peel depth, typically far below diameter.
     """
     cur = (
         _undirected(edges)
         .where(F.col("src") != F.col("dst"))
         .localCheckpoint(eager=True)
     )
+    if driver_edge_threshold and cur.count() <= driver_edge_threshold:
+        from collections import Counter, defaultdict
+
+        nbrs: dict = defaultdict(set)
+        for row in cur.collect():
+            nbrs[row[0]].add(row[1])
+        deg = Counter({n: len(v) for n, v in nbrs.items()})
+        queue = [n for n, d in deg.items() if d < k]
+        dead: set = set()
+        while queue:
+            n = queue.pop()
+            if n in dead:
+                continue
+            dead.add(n)
+            for m in nbrs[n]:
+                if m not in dead:
+                    deg[m] -= 1
+                    if deg[m] < k:
+                        queue.append(m)
+        id_type = cur.schema[0].dataType
+        out = [
+            (n, len(nbrs[n] - dead))
+            for n in nbrs
+            if n not in dead
+        ]
+        return edges.sparkSession.createDataFrame(
+            out,
+            T.StructType(
+                [
+                    T.StructField("node_id", id_type),
+                    T.StructField("core_degree", T.LongType()),
+                ]
+            ),
+        )
     for _ in range(max_iter):
         deg = cur.groupBy(F.col("src").alias("n")).agg(
             F.count("*").alias("core_degree")

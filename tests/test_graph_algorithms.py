@@ -216,3 +216,22 @@ def test_k_core_peels_to_fixpoint(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     # k=1 keeps everything with an edge
     assert k_core(edges, 1).count() == 7
+
+
+def test_k_core_paths_agree(spark):
+    # driver peel vs distributed loop: identical unique fixpoint,
+    # including in-core degrees (nodes can keep dead neighbors' slots)
+    from grafeo_memory_spark.graph.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (5, 7), (6, 7)],
+        "src long, dst long",
+    )
+    fast = {(r[0], r[1]) for r in k_core(edges, 2).collect()}
+    slow = {
+        (r[0], r[1])
+        for r in k_core(edges, 2, driver_edge_threshold=0).collect()
+    }
+    assert fast == slow
+    assert dict(fast)[1] == 3  # node 1 keeps its K4 degree
