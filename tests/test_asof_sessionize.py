@@ -133,3 +133,67 @@ class TestSessionize:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------------ randomized batch
+# (pattern from test_properties.py: many generated rows → ONE DataFrame
+# → one action, compared against a brute-force pure-Python reference)
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(421)
+    left = [(rng.randrange(6), rng.randrange(100), i) for i in range(300)]
+    right = [
+        (rng.randrange(6), rng.randrange(100), float(i)) for i in range(200)
+    ]
+    # dedupe right per (k, ts) keeping max v — the determinism contract
+    best: dict = {}
+    for k, ts, v in right:
+        if (k, ts) not in best or v > best[(k, ts)]:
+            best[(k, ts)] = v
+    right_d = [(k, ts, v) for (k, ts), v in best.items()]
+
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right_d, "k long, ts long, v double")
+    got = {
+        r["lid"]: (r["v"], r["ts_matched_asof"])
+        for r in asof_join(ldf, rdf, on="k", ts_col="ts").collect()
+    }
+
+    def brute(k, ts):
+        cands = [(rts, v) for (rk, rts, v) in right_d if rk == k and rts <= ts]
+        if not cands:
+            return (None, None)
+        rts, v = max(cands)
+        return (v, rts)
+
+    want = {lid: brute(k, ts) for (k, ts, lid) in left}
+    assert got == want
+
+
+def test_sessionize_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = [(rng.randrange(4), rng.randrange(1000), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    got = {
+        r["eid"]: r["session_seq"]
+        for r in sessionize(df, ["k"], "ts", 25, tiebreak="eid").collect()
+    }
+
+    want = {}
+    by_k: dict = {}
+    for k, ts, eid in rows:
+        by_k.setdefault(k, []).append((ts, eid))
+    for k, evs in by_k.items():
+        evs.sort()
+        seq, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or ts - prev > 25:
+                seq += 1
+            want[eid] = seq
+            prev = ts
+    assert got == want
