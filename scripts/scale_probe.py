@@ -89,14 +89,88 @@ def main() -> None:
         ),
     }
 
+    # events-based ops: replicate with disjoint user ids so sessions and
+    # as-of matches scale with the data instead of densifying one key
+    from grafeo_memory_spark.operators.asof import asof_join
+    from grafeo_memory_spark.operators.windows import sessionize
+
+    ev_base = spread(load_table(spark, SF_DIR, "events")).localCheckpoint()
+
+    def replicate_events(times: int):
+        parts = [
+            ev_base.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            for i in range(times)
+        ]
+        out_ = parts[0]
+        for p in parts[1:]:
+            out_ = out_.unionByName(p)
+        return out_.localCheckpoint()
+
+    def _sessionize(ev):
+        gap = F.expr("INTERVAL 30 MINUTES")
+        return sessionize(ev, ["user_id"], "ts", gap, tiebreak="event_id")
+
+    def _asof(ev):
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        return asof_join(
+            purchases, clicks, on="user_id", ts_col="ts",
+            value_cols=["click_value"],
+        )
+
+    # graph ops: replicate RELATION edges with disjoint node-id ranges
+    from grafeo_memory_spark.graph.algorithms import triangle_count
+    from grafeo_memory_spark.sources.tables import fixtures_dir
+
+    edge_base = (
+        spark.read.parquet(os.path.join(fixtures_dir(SF_DIR), "edges.parquet"))
+        .where(F.col("edge_type") == "RELATION")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+
+    def replicate_edges(times: int):
+        parts = [
+            edge_base.select(
+                (F.col("src") + F.lit(i * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(i * 100_000_000)).alias("dst"),
+            )
+            for i in range(times)
+        ]
+        out_ = parts[0]
+        for p in parts[1:]:
+            out_ = out_.unionByName(p)
+        return out_.localCheckpoint()
+
+    event_ops = {"sessionize": _sessionize, "asof_join": _asof}
+    edge_ops = {"triangle_count": triangle_count}
+
     small = replicate(1)
     large = replicate(n)
+    ev_small, ev_large = replicate_events(1), replicate_events(n)
+    edge_small, edge_large = replicate_edges(1), replicate_edges(n)
     # warm both inputs and the codegen paths
     _execute(small)
     _execute(large)
 
+    inputs = (
+        [(name, fn, small, large) for name, fn in ops.items()]
+        + [(name, fn, ev_small, ev_large) for name, fn in event_ops.items()]
+        + [(name, fn, edge_small, edge_large) for name, fn in edge_ops.items()]
+    )
+
     out: dict[str, dict] = {}
-    for name, fn in ops.items():
+    for name, fn, small, large in inputs:
         _execute(fn(small))  # warm-up run
         t0 = time.perf_counter()
         _execute(fn(small))
