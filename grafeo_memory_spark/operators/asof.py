@@ -56,6 +56,13 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
+    reserved = {"_ts", "_side", "_rv", "_m"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} first"
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, rts)]
     out_names = {

@@ -65,15 +65,21 @@ def hyperplane_signature(vec_col: Column | str, planes: list[list[float]]) -> Co
         planes_lit,
         lambda p: F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)),
     )
-    return F.aggregate(
+    # long accumulators: signatures stay exact up to 62 planes (int
+    # place-value would overflow past 31)
+    sig = F.aggregate(
         bits,
-        F.struct(F.lit(0).alias("s"), F.lit(1).alias("m")),
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("m")
+        ),
         lambda acc, b: F.struct(
             (acc["s"] + b * acc["m"]).alias("s"),
             (acc["m"] * F.lit(2)).alias("m"),
         ),
         lambda acc: acc["s"],
     )
+    # int for ≤31 planes — the type the pre-fold implementation produced
+    return sig.cast("int") if len(planes) <= 31 else sig
 
 
 def planes_sql_literal(planes: list[list[float]]) -> list[str]:
