@@ -67,3 +67,37 @@ def test_dedup_ops_on_empty_documents(spark):
     assert (
         jaccard_similarity_join(docs, "text", "doc_id", df_cap=64).count() == 0
     )
+
+
+def test_round5_ops_on_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from grafeo_memory_spark.graph.algorithms import (
+        adamic_adar,
+        k_core,
+        triangle_count,
+    )
+    from grafeo_memory_spark.operators.asof import asof_join
+    from grafeo_memory_spark.operators.skew import (
+        salted_join,
+        split_skew_join,
+    )
+    from grafeo_memory_spark.operators.windows import sessionize
+    from grafeo_memory_spark.sources.layout import zvalue
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    ev = spark.createDataFrame([], "k long, ts long, v double")
+    right = ev.select("k", "ts", F.col("v").alias("rv"))
+    assert triangle_count(edges).count() == 0
+    assert adamic_adar(edges).count() == 0
+    assert k_core(edges, 2).count() == 0
+    assert sessionize(ev, ["k"], "ts", 10).count() == 0
+    assert asof_join(ev, right, on="k", ts_col="ts").count() == 0
+    assert salted_join(ev, right, "k").count() == 0
+    assert (
+        split_skew_join(
+            ev, ev.select("k", F.col("v").alias("rv")), "k", hot_threshold=1
+        ).count()
+        == 0
+    )
+    assert ev.select(zvalue(ev, ["ts", "v"], bits=3)).count() == 0
