@@ -125,17 +125,23 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
         print(f"  {r['lm_bucket']}: {r['count']}")
 
     # the whole recipe as ONE call: clean → quality → exact → fuzzy →
-    # decontaminate → mixture, with per-stage accounting
+    # SemDeDup → decontaminate → mixture, with per-stage accounting
+    # (the embeddings table's vec_id aligns with doc_id in the fixtures)
     from grafeo_memory_spark.pipeline.corpus import (
         CorpusRecipe,
         build_training_corpus,
     )
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
     final, report = build_training_corpus(
         docs,
         benchmark=bench,
         bench_text_col="prompt",
-        recipe=CorpusRecipe(min_words=5,
+        embeddings=emb,
+        recipe=CorpusRecipe(min_words=5, semantic=True,
+                            semantic_centroids=16, semantic_eps=0.35,
                             mixture={"src0": 0.5, "src1": 0.5}),
         count_stages=True,
     )

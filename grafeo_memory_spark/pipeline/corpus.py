@@ -1,7 +1,8 @@
 """Composed training-corpus construction: the canonical LLM-data
 recipe — clean → quality-filter → exact dedup → LM perplexity cut →
-fuzzy dedup → span dedup → decontaminate → mixture-sample — as ONE
-configurable call with per-stage accounting.
+fuzzy dedup → span dedup → SemDeDup (embedding clusters) →
+decontaminate → mixture-sample — as ONE configurable call with
+per-stage accounting.
 
 Each stage is the already-tested operator from its own module
 (`cleaning` / `dedup` / `decontamination` / `sampling`); this layer
@@ -68,6 +69,9 @@ class CorpusRecipe:
     spans: bool = False                # C4 global span dedup (line corpora)
     span: int = 3
     span_sep: str = "\n"
+    semantic: bool = False             # SemDeDup (needs embeddings)
+    semantic_eps: float = 0.35
+    semantic_centroids: int = 64
     decontaminate: bool = True         # needs a benchmark DataFrame
     ngram: int = 13
     mixture: dict | None = None        # {domain: weight} over domain_col
@@ -100,6 +104,9 @@ def build_training_corpus(
     benchmark: DataFrame | None = None,
     bench_text_col: str | None = None,
     lm_model: LmModel | None = None,
+    embeddings: DataFrame | None = None,
+    emb_col: str = "embedding",
+    emb_id_col: str | None = None,
     recipe: CorpusRecipe | None = None,
     count_stages: bool = False,
 ) -> tuple[DataFrame, StageReport]:
@@ -162,6 +169,30 @@ def build_training_corpus(
                 cur, text_col, id_col, span=r.span, sep=r.span_sep
             ),
         )
+    if r.semantic and embeddings is not None:
+        # SemDeDup after the textual dedups (verbatim and near-verbatim
+        # copies are cheaper to kill by hash/shingle than by embedding)
+        # and before decontamination, on the smallest corpus that still
+        # has its duplicate structure. The embeddings side is first
+        # semi-joined down to the surviving ids, so clustering cost
+        # tracks the filtered corpus, not the raw one.
+        from grafeo_memory_spark.pipeline.ann import ivf_train
+        from grafeo_memory_spark.pipeline.dedup import semdedup
+
+        eid = emb_id_col or id_col
+        emb_cur = embeddings.join(
+            cur.select(F.col(id_col).alias(eid)).distinct(),
+            eid,
+            "left_semi",
+        )
+        cents = ivf_train(
+            emb_cur, r.semantic_centroids, vec_col=emb_col, id_col=eid,
+            iterations=2,
+        )
+        keep = semdedup(
+            emb_cur, cents, eps=r.semantic_eps, vec_col=emb_col, id_col=eid
+        ).select(F.col(eid).alias(id_col))
+        cur = step("semantic_dedup", cur.join(keep, id_col, "left_semi"))
     if r.decontaminate and benchmark is not None:
         cur = step(
             "decontaminate",

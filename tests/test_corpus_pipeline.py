@@ -124,3 +124,40 @@ class TestBuildTrainingCorpus:
             corpus, recipe=CorpusRecipe(decontaminate=False)
         )
         assert all(v == (None, None) for v in report.rows.values())
+
+
+def test_semantic_dedup_stage(spark, corpus):
+    # two docs share (near-identical) embeddings → SemDeDup keeps one;
+    # the stage only runs when an embeddings frame is supplied
+    from pyspark.sql import functions as F
+
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    dim = len(ids)
+
+    def one_hot(pos):
+        return [1.0 if d == pos else 0.0 for d in range(dim)]
+
+    # every doc orthogonal to every other, except doc 2 copies doc 1
+    emb = spark.createDataFrame(
+        [
+            (i, one_hot(ids.index(1) if i == 2 else ids.index(i)))
+            for i in ids
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out, report = build_training_corpus(
+        corpus,
+        embeddings=emb,
+        recipe=CorpusRecipe(
+            clean=False, quality=False, exact=False, fuzzy=False,
+            decontaminate=False, semantic=True, semantic_eps=0.95,
+            semantic_centroids=2,
+        ),
+        count_stages=True,
+    )
+    assert report.stages == ["semantic_dedup"]
+    kept = {r["doc_id"] for r in out.collect()}
+    # docs 1 and 2 are semantically identical → exactly one survives
+    assert len(kept & {1, 2}) == 1
+    before, after = report.rows["semantic_dedup"]
+    assert after < before
