@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 __all__ = [
     "stratified_sample",
     "take_per_key",
+    "weighted_sample_per_key",
     "length_bucket",
     "mixture_fractions",
     "mixture_sample",
@@ -75,6 +76,52 @@ def take_per_key(
     w = Window.partitionBy(key_col).orderBy(
         F.md5(F.concat_ws(":", F.col(id_col), F.lit(salt))),
         F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k rows per
+    key — Efraimidis-Spirakis (2006) reservoir keys: each row draws the
+    md5 uniform ``u`` (same construction as :func:`stratified_sample`)
+    and ranks by ``u^(1/w)`` descending, i.e. heavier rows win
+    proportionally more often, yet the draw is a pure function of
+    (id, salt) so reruns select identically. Ranking uses the monotone
+    transform ``ln(u)/w`` (one transcendental instead of ``pow``)
+    ROUNDED to 9 decimals: JVM and DuckDB libm results can differ in
+    the final ulp, and the rounding makes the oracle's replay
+    bit-identical (verified over the full documents table). Weights are
+    clamped to >= 1. One shuffle on the key — identical cost shape to
+    :func:`take_per_key`.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**8)
+    )
+    score = F.round(
+        F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0)),
+        9,
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        score.desc(), F.col(id_col).asc()
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -29,6 +29,7 @@ from grafeo_memory_spark.pipeline.sampling import (
     length_bucket,
     mixture_sample,
     stratified_sample,
+    weighted_sample_per_key,
     take_per_key,
 )
 from grafeo_memory_spark.queries import query
@@ -299,6 +300,14 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) WHERE rn <= 3
     UNION ALL
+    SELECT 'wes' AS kind, doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY round(ln({_u_sql(5)}) / greatest(n_chars, 1), 9) DESC,
+                 doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    UNION ALL
     SELECT 'mixture' AS kind, doc_id, source FROM documents
     JOIN (
       WITH w(d, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
@@ -332,6 +341,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable pseudo-random balance cap. One shuffle on the key — the same
     shuffle a balanced shard write needs anyway.
 
+    'wes' — Efraimidis-Spirakis deterministic weighted sampling
+    (`pipeline/sampling.weighted_sample_per_key`, k=3 per source,
+    weight = n_chars): reservoir keys ranked by the rounded monotone
+    transform ln(u)/w, replayed bit-for-bit by the oracle.
+
     'mixture' — domain-mixture sampling (`pipeline/sampling.
     mixture_sample`, folded in from its own former row to free a
     registry slot for `asof_join`): solve the largest feasible total T
@@ -349,12 +363,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = take_per_key(
         docs, "source", 3, id_col="doc_id", salt=7
     ).select(F.lit("cap").alias("kind"), "doc_id", "source")
+    wes = weighted_sample_per_key(
+        docs, "source", 3, "n_chars", id_col="doc_id", salt=5
+    ).select(F.lit("wes").alias("kind"), "doc_id", "source")
     mix = mixture_sample(
         docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         id_col="doc_id", salt=3,
     ).select(F.lit("mixture").alias("kind"), "doc_id", "source")
     return (
-        strat.unionByName(cap).unionByName(mix).orderBy("kind", "doc_id")
+        strat.unionByName(cap).unionByName(wes).unionByName(mix)
+        .orderBy("kind", "doc_id")
     )
 
 

@@ -564,7 +564,9 @@ def q_lookup_point_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT coalesce(memory_type, 'semantic') AS memory_type,
            count(*) AS n,
-           CAST(sum(CASE WHEN expired_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+           CAST(sum(CASE WHEN expired_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(quantile_cont(importance, 0.5), 6) AS p50_importance,
+           round(quantile_cont(importance, 0.95), 6) AS p95_importance
     FROM {_MEM}
     GROUP BY coalesce(memory_type, 'semantic')
     ORDER BY memory_type
@@ -573,7 +575,11 @@ def q_lookup_point_property(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_memory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/A1 — the real stats rollup over the native memories table
     (`_stats_impl`, `manager.py:1926-2014`): counts by memory_type with
-    the NULL≡semantic back-compat rule (F6), active vs expired split."""
+    the NULL≡semantic back-compat rule (F6), active vs expired split,
+    plus EXACT interpolated importance percentiles (Spark `percentile`
+    and DuckDB `quantile_cont` share the (n-1)·p linear-interpolation
+    definition, so the hash pins them bit-for-bit at 6 decimals — the
+    latency/score-distribution surface a stats endpoint reports)."""
     mem = load_fixture(spark, sf_dir, "memories")
     return (
         mem.groupBy(
@@ -583,6 +589,12 @@ def q_memory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.when(F.col("expired_at").isNull(), 1).otherwise(0)).alias(
                 "n_active"
+            ),
+            F.round(F.percentile("importance", F.lit(0.5)), 6).alias(
+                "p50_importance"
+            ),
+            F.round(F.percentile("importance", F.lit(0.95)), 6).alias(
+                "p95_importance"
             ),
         )
         .orderBy("memory_type")

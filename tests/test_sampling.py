@@ -225,3 +225,43 @@ class TestMixture:
         assert sorted(r["id"] for r in out.collect()) == sorted(
             r["id"] for r in again.collect()
         )
+
+
+class TestWeightedSamplePerKey:
+    def test_deterministic_and_k_per_key(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import (
+            weighted_sample_per_key,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", 1 + (i % 7)) for i in range(100)],
+            "id long, dom string, w long",
+        )
+        a = weighted_sample_per_key(df, "dom", 5, "w", id_col="id")
+        b = weighted_sample_per_key(df, "dom", 5, "w", id_col="id")
+        got_a = sorted(r["id"] for r in a.collect())
+        assert got_a == sorted(r["id"] for r in b.collect())
+        counts = {
+            r["dom"]: r["n"]
+            for r in a.groupBy("dom").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"a": 5, "b": 5}
+
+    def test_heavier_rows_win_more_often(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import (
+            weighted_sample_per_key,
+        )
+
+        # one domain, half the rows carry 50x the weight; across many
+        # salts the heavy half must dominate the selections
+        df = spark.createDataFrame(
+            [(i, "d", 50 if i < 100 else 1) for i in range(200)],
+            "id long, dom string, w long",
+        )
+        heavy = 0
+        for salt in range(10):
+            sel = weighted_sample_per_key(
+                df, "dom", 20, "w", id_col="id", salt=salt
+            ).collect()
+            heavy += sum(1 for r in sel if r["id"] < 100)
+        assert heavy > 150  # ≥75% of 200 picks from the heavy half
