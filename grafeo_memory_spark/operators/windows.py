@@ -18,6 +18,7 @@ __all__ = [
     "latest_per_group",
     "drop_newest",
     "sessionize",
+    "time_weighted_avg",
 ]
 
 
@@ -143,6 +144,47 @@ def sessionize(
         df.withColumn("_new_session", is_new)
         .withColumn(session_col, F.sum("_new_session").over(cum))
         .drop("_new_session")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_num_col: str,
+    value_col: str,
+    *,
+    tiebreak: str | None = None,
+    out_col: str = "twa",
+) -> DataFrame:
+    """Left-weighted time-weighted average per key group — the
+    timeseries-engine rollup where a value HOLDS from its timestamp
+    until the next observation, so irregular sampling doesn't bias the
+    mean toward burst periods: ``Σ v_i·(t_{i+1}−t_i) / (t_n−t_0)``.
+    The last observation of a group carries no weight (nothing holds
+    after it); single-observation groups fall back to the plain value.
+
+    ``ts_num_col`` must already be numeric (epoch micros/millis — exact
+    integers; a raw timestamp cast to double loses sub-second precision
+    at epoch magnitudes, so convert with ``unix_micros``/timestampdiff
+    upstream). One shuffle on the keys; the lead window and the
+    aggregation share it.
+    """
+    order = [F.col(ts_num_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dur = F.lead(ts_num_col).over(w) - F.col(ts_num_col)
+    return (
+        df.withColumn("_dur", dur)
+        .groupBy(*keys)
+        .agg(
+            F.when(
+                F.sum("_dur") > 0,
+                F.sum(F.col(value_col) * F.col("_dur")) / F.sum("_dur"),
+            )
+            .otherwise(F.avg(value_col))
+            .alias(out_col)
+        )
     )
 
 

@@ -298,7 +298,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     sess AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              sum(CASE WHEN prev_ts IS NULL
                         OR ts - prev_ts > INTERVAL '30 minutes'
                       THEN 1 ELSE 0 END)
@@ -306,13 +306,23 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_seq
       FROM lagged
+    ),
+    durs AS (
+      SELECT user_id, session_seq, ts, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, session_seq
+               ORDER BY ts, event_id) - epoch_us(ts) AS dur
+      FROM sess
     )
     SELECT user_id, session_seq,
            count(*) AS n_events,
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us,
-           round(sum(value), 4) AS total_value
-    FROM sess
+           round(sum(value), 4) AS total_value,
+           round(CASE WHEN sum(dur) > 0
+                      THEN sum(value * dur) / sum(dur)
+                      ELSE avg(value) END, 6) AS twa_value
+    FROM durs
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
     """,
@@ -336,6 +346,7 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap = F.lit(30 * 60 * 1_000_000_000)  # 30 min in nanos
         first = F.expr("min(ts) div 1000").alias("first_us")
         last = F.expr("max(ts) div 1000").alias("last_us")
+        us = F.expr("ts div 1000")
     else:
         gap = F.expr("INTERVAL 30 MINUTES")
         epoch_us = (
@@ -344,14 +355,33 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         first = F.expr(epoch_us.format(c="min")).alias("first_us")
         last = F.expr(epoch_us.format(c="max")).alias("last_us")
-    return (
+        us = F.expr(epoch_us.format(c=""))
+    # time-weighted average inside each session (the timeseries rollup
+    # `operators/windows.time_weighted_avg` packages standalone): each
+    # value holds until the next event; exact integer micros on both
+    # sides so the weights are bit-identical with the oracle's epoch_us
+    wdur = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    sess = (
         sessionize(ev, ["user_id"], "ts", gap, tiebreak="event_id")
-        .groupBy("user_id", "session_seq")
+        .withColumn("_us", us)
+        .withColumn("_dur", F.lead("_us").over(wdur) - F.col("_us"))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             first,
             last,
             F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.when(
+                    F.sum("_dur") > 0,
+                    F.sum(F.col("value") * F.col("_dur")) / F.sum("_dur"),
+                ).otherwise(F.avg("value")),
+                6,
+            ).alias("twa_value"),
         )
         .orderBy("user_id", "session_seq")
     )

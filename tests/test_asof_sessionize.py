@@ -197,3 +197,33 @@ def test_sessionize_randomized_vs_bruteforce(spark):
             want[eid] = seq
             prev = ts
     assert got == want
+
+
+class TestTimeWeightedAvg:
+    def test_holds_value_until_next_observation(self, spark):
+        from grafeo_memory_spark.operators.windows import time_weighted_avg
+
+        # value 10 holds for 30s, value 20 for 10s, value 99 is last
+        # (no weight): twa = (10*30 + 20*10) / 40 = 12.5
+        df = spark.createDataFrame(
+            [(1, 0, 10.0), (1, 30, 20.0), (1, 40, 99.0), (2, 5, 7.0)],
+            "k long, ts long, v double",
+        )
+        got = {
+            r["k"]: r["twa"]
+            for r in time_weighted_avg(df, ["k"], "ts", "v").collect()
+        }
+        assert got[1] == 12.5
+        assert got[2] == 7.0  # single observation → plain value
+
+    def test_burst_does_not_bias(self, spark):
+        from grafeo_memory_spark.operators.windows import time_weighted_avg
+
+        # 100 burst samples of value 1 in one second, then value 0
+        # holding for 99 seconds: arithmetic mean ≈ 1, TWA ≈ 0.01
+        rows = [(1, i, 1.0) for i in range(100)] + [
+            (1, 100, 0.0), (1, 10_000, 0.0)
+        ]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        twa = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]["twa"]
+        assert twa < 0.02
