@@ -24,6 +24,7 @@ EXAMPLES = [
     "communities",
     "temporal_bench",
     "event_analytics",
+    "layout_skew",
 ]
 
 sys.path.insert(
