@@ -77,6 +77,9 @@ class CorpusRecipe:
     mixture: dict | None = None        # {domain: weight} over domain_col
     domain_col: str = "source"
     salt: int = 0
+    tokenize: bool = False             # append BPE token_ids/n_tokens
+    bpe_merges: int = 4096
+    bpe_max_types: int = 200_000
 
 
 @dataclass
@@ -206,6 +209,29 @@ def build_training_corpus(
             "mixture_sample",
             mixture_sample(
                 cur, r.domain_col, r.mixture, id_col=id_col, salt=r.salt
+            ),
+        )
+    if r.tokenize:
+        # tokenizer trains on (and encodes) the FINAL corpus — the
+        # published order (tokenize after mixing, GPT/LLaMA pipelines):
+        # the vocab reflects the data the model will actually see. The
+        # train side is one word-count shuffle over the surviving docs;
+        # encoding is map-only.
+        from grafeo_memory_spark.pipeline.tokenizer import (
+            bpe_encode,
+            bpe_train,
+            word_counts,
+        )
+
+        model = bpe_train(
+            word_counts(cur, text_col),
+            r.bpe_merges,
+            max_types=r.bpe_max_types,
+        )
+        cur = step(
+            "tokenize",
+            bpe_encode(cur, text_col, model).withColumn(
+                "n_tokens", F.size("token_ids")
             ),
         )
     return cur, report

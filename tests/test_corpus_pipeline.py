@@ -161,3 +161,21 @@ def test_semantic_dedup_stage(spark, corpus):
     assert len(kept & {1, 2}) == 1
     before, after = report.rows["semantic_dedup"]
     assert after < before
+
+
+def test_tokenize_stage_appends_ids_and_counts(spark, corpus):
+    out, report = build_training_corpus(
+        corpus,
+        recipe=CorpusRecipe(
+            clean=False, quality=False, exact=False, fuzzy=False,
+            decontaminate=False, tokenize=True, bpe_merges=50,
+        ),
+    )
+    assert report.stages == ["tokenize"]
+    assert {"token_ids", "n_tokens"} <= set(out.columns)
+    rows = out.select("text", "token_ids", "n_tokens").collect()
+    for r in rows:
+        assert r["n_tokens"] == len(r["token_ids"])
+        # every whitespace word emits >= 1 token; with only 50 merges
+        # long words stay multi-token, so ids >= word count
+        assert len(r["token_ids"]) >= len(r["text"].split())
