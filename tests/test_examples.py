@@ -25,6 +25,7 @@ EXAMPLES = [
     "temporal_bench",
     "event_analytics",
     "layout_skew",
+    "tokenize_pipeline",
 ]
 
 sys.path.insert(
