@@ -89,6 +89,35 @@ def main() -> None:
         ),
     }
 
+    # map-only tokenization-side ops: model/filter are trained once on
+    # the base corpus (fixed cost outside the timed loop); the probe
+    # measures how chunk/encode/probe scale with corpus size
+    from grafeo_memory_spark.pipeline.bloom import (
+        bloom_build,
+        bloom_filter_unseen,
+    )
+    from grafeo_memory_spark.pipeline.chunking import chunk_documents
+    from grafeo_memory_spark.pipeline.dedup import content_hash
+    from grafeo_memory_spark.pipeline.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        word_counts,
+    )
+
+    bpe = bpe_train(word_counts(base, "text"), 200)
+    bloom = bloom_build(
+        base.withColumn("key", content_hash(F.col("text"))), "key", fpp=0.01
+    )
+    ops["chunk_documents"] = lambda df: chunk_documents(
+        df.select("doc_id", "text"), max_tokens=64, overlap=8
+    )
+    ops["bpe_encode"] = lambda df: bpe_encode(df, "text", bpe).select(
+        "doc_id", F.size("token_ids").alias("n_tokens")
+    )
+    ops["bloom_probe"] = lambda df: bloom_filter_unseen(
+        df.withColumn("key", content_hash(F.col("text"))), "key", bloom
+    )
+
     # events-based ops: replicate with disjoint user ids so sessions and
     # as-of matches scale with the data instead of densifying one key
     from grafeo_memory_spark.operators.asof import asof_join
