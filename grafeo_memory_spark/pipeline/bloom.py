@@ -142,7 +142,9 @@ def bloom_might_contain(col: Column | str, bloom: BloomFilter) -> Column:
     the plan as a single array<long> literal; each probe is k getbit
     tests — map-only, no shuffle, no Python."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    bits = F.lit(bloom.words)
+    # explicit cast: an all-small-values words list would otherwise
+    # infer a narrower element type and getbit would reject pos >= 32
+    bits = F.lit(bloom.words).cast("array<bigint>")
     checks = []
     for pos in _position_cols(c, bloom.m_bits, bloom.k, bloom.salt):
         word = F.element_at(bits, F.shiftright(pos, 6).cast("int") + 1)

@@ -26,6 +26,9 @@ Two tiers, matching the batch operators in ``pipeline/dedup.py``:
 
 A lakehouse deployment swaps the partition dirs for MERGE INTO on a
 Delta/Iceberg band table; the per-batch logical plan is identical.
+
+A third tier — unbounded-horizon exact-key suppression in constant
+(Bloom bitmap) state — lives in ``streaming/bloom_dedup.py``.
 """
 
 from __future__ import annotations
