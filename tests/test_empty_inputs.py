@@ -101,3 +101,32 @@ def test_round5_ops_on_empty_inputs(spark):
         == 0
     )
     assert ev.select(zvalue(ev, ["ts", "v"], bits=3)).count() == 0
+
+
+def test_new_corpus_ops_on_empty_inputs(spark):
+    from grafeo_memory_spark.operators.range_join import range_join
+    from grafeo_memory_spark.pipeline.bloom import bloom_build
+    from grafeo_memory_spark.pipeline.chunking import chunk_documents
+    from grafeo_memory_spark.pipeline.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        word_counts,
+    )
+    from grafeo_memory_spark.pipeline.urls import domain_stats
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_documents(docs, max_tokens=16).count() == 0
+    assert word_counts(docs, "text").count() == 0
+    model = bpe_train(word_counts(docs, "text"), 10)
+    assert model.merges == []
+    assert bpe_encode(docs, "text", model).count() == 0
+    bf = bloom_build(docs.withColumnRenamed("text", "key"), "key", n_items=1)
+    assert all(w == 0 for w in bf.words)
+    assert domain_stats(
+        spark.createDataFrame([], "id long, url string"), "url"
+    ).count() == 0
+    pts = spark.createDataFrame([], "pid long, x double")
+    ivs = spark.createDataFrame([], "iid long, lo double, hi double")
+    assert range_join(
+        pts, ivs, point_col="x", lo_col="lo", hi_col="hi"
+    ).count() == 0
