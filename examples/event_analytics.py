@@ -60,6 +60,39 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> None:
         print(f"  event {r['event_id']}: {r['value']:.2f} / "
               f"{r['click_value']:.2f} @ {r['ts_matched_asof']}")
 
+    # 2b. range join: attribute each purchase to the promo window(s)
+    # containing it — the binned equi-join, never a nested loop
+    from grafeo_memory_spark.operators.range_join import range_join
+
+    day = 86_400.0
+    promos = spark.createDataFrame(
+        [
+            (1, "new-year", 0.0, 7 * day),
+            (2, "mid-month", 12 * day, 18 * day),
+            (3, "clearance", 25 * day, 40 * day),
+        ],
+        "promo_id int, promo string, lo double, hi double",
+    )
+    pts = purchases.withColumn(
+        "t_rel",
+        F.unix_timestamp("ts").cast("double")
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00")).cast("double"),
+    )
+    attributed = range_join(
+        pts, promos, point_col="t_rel", lo_col="lo", hi_col="hi",
+        bin_width=7 * day, how="left",
+    )
+    promo_rollup = (
+        attributed.groupBy("promo")
+        .agg(F.count("*").alias("purchases"),
+             F.round(F.sum("value"), 2).alias("revenue"))
+        .orderBy(F.desc_nulls_last("purchases"))
+    )
+    print("promo attribution (NULL = outside every window):")
+    for r in promo_rollup.collect():
+        print(f"  {r['promo']}: {r['purchases']} purchases, "
+              f"revenue {r['revenue']}")
+
     # 3. structural graph metrics on a co-occurrence graph: users that
     # touch the same minute-bucket form edges; triangles, link
     # prediction, and the dense 2-core over that graph
