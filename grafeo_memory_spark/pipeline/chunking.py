@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "chunk_token_ids"]
 
 
 def chunk_documents(
@@ -79,3 +79,43 @@ def chunk_documents(
         )
     )
     return out
+
+
+def chunk_token_ids(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    *,
+    max_tokens: int = 2048,
+    overlap: int = 0,
+) -> DataFrame:
+    """Window an already-encoded id array (``tokenizer.bpe_encode``
+    output) into *true* token-budget chunks — the form a training
+    writer consumes directly. Same window semantics and map-only shape
+    as :func:`chunk_documents`, but over ``array<int>`` so the budget
+    is exact rather than a whitespace proxy. Output: input columns
+    minus ``ids_col``, plus ``chunk_idx, chunk_ids, chunk_tokens``."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    n = F.size(F.col(ids_col))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step)))
+    passthrough = [c for c in df.columns if c != ids_col]
+    return (
+        df.select(
+            *passthrough,
+            F.col(ids_col).alias("__ids"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            *passthrough,
+            "chunk_idx",
+            F.slice("__ids", F.col("__start") + 1, max_tokens).alias(
+                "chunk_ids"
+            ),
+            F.least(
+                F.lit(max_tokens), F.size("__ids") - F.col("__start")
+            ).alias("chunk_tokens"),
+        )
+    )

@@ -103,3 +103,32 @@ def test_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_token_ids_windows_and_reassembly(spark):
+    from grafeo_memory_spark.pipeline.chunking import chunk_token_ids
+
+    ids = list(range(25))
+    df = spark.createDataFrame([(1, ids), (2, []), (3, None)],
+                               "doc_id int, token_ids array<int>")
+    rows = (
+        chunk_token_ids(df, max_tokens=10, overlap=0)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1]
+    got = []
+    for r in rows:
+        assert r["chunk_tokens"] == len(r["chunk_ids"]) <= 10
+        got.extend(r["chunk_ids"])
+    assert got == ids
+    # overlap: consecutive windows share the suffix/prefix
+    rows = (
+        chunk_token_ids(df, max_tokens=10, overlap=4)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    full = [list(r["chunk_ids"]) for r in rows]
+    for a, b in zip(full, full[1:]):
+        if len(a) == 10:
+            assert a[-4:] == b[:4]

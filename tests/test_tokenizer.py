@@ -201,3 +201,33 @@ def test_encode_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_hypothesis_round_trip_and_trainer_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(words)
+    def prop(ws):
+        counts = Counter(ws)
+        items = sorted(counts.items())
+        model = bpe_train(items, 15, min_pair_count=1)
+        assert model.merges == _naive_train(items, 15, min_pair_count=1)
+        text = " ".join(ws)
+        ids = []
+        for w in text.split():
+            ids.extend(
+                model.vocab.get(s, model.unk_id)
+                for s in bpe_encode_word(w, model.ranks, END_OF_WORD)
+            )
+        # training corpus chars are all in the vocab → exact round trip
+        assert bpe_decode(ids, model) == text
+
+    prop()
