@@ -80,6 +80,8 @@ class CorpusRecipe:
     tokenize: bool = False             # append BPE token_ids/n_tokens
     bpe_merges: int = 4096
     bpe_max_types: int = 200_000
+    model_quality: bool = False        # classifier + Pareto (needs model)
+    pareto_alpha: float = 9.0
 
 
 @dataclass
@@ -110,6 +112,7 @@ def build_training_corpus(
     embeddings: DataFrame | None = None,
     emb_col: str = "embedding",
     emb_id_col: str | None = None,
+    quality_model: "object | None" = None,
     recipe: CorpusRecipe | None = None,
     count_stages: bool = False,
 ) -> tuple[DataFrame, StageReport]:
@@ -203,6 +206,25 @@ def build_training_corpus(
                 cur, benchmark, text_col=text_col, id_col=id_col,
                 bench_text_col=bench_text_col, n=r.ngram,
             ),
+        )
+    if r.model_quality and quality_model is not None:
+        # model-based quality pass after the dedups (don't waste
+        # classifier scores on rows a hash would kill) and before the
+        # mixture, so realized domain shares reflect what survives
+        from grafeo_memory_spark.pipeline.quality_classifier import (
+            pareto_filter,
+        )
+
+        scored = quality_model.score(cur, text_col=text_col)
+        cur = step(
+            "model_quality",
+            pareto_filter(
+                scored,
+                quality_model.score_col,
+                id_col,
+                alpha=r.pareto_alpha,
+                salt=r.salt,
+            ).drop(quality_model.score_col),
         )
     if r.mixture:
         cur = step(
