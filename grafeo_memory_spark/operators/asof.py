@@ -53,6 +53,10 @@ def asof_join(
     (renamed with ``suffix`` on name collision), then
     ``ts_col + "_matched" + suffix`` — the matched right timestamp
     (useful for staleness features; NULL when unmatched).
+
+    NULL keys never match (standard join equality, DuckDB ``ASOF ...
+    ON l.k = r.k`` semantics): a left row with a NULL key is kept with
+    NULL values, and NULL-key right rows match nothing.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
@@ -101,6 +105,14 @@ def asof_join(
         .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    # join-equality semantics: NULL keys never match (partitionBy groups
+    # NULL with NULL, so without this a NULL-key left row would pick up
+    # a NULL-key right row — DuckDB ASOF ON equality never does)
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    joined = joined.withColumn("_m", F.when(~null_key, F.col("_m")))
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         joined = joined.withColumn(

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["range_join"]
@@ -62,6 +62,13 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     keys = [on] if isinstance(on, str) else list(on or [])
+    reserved = {"_bin", "_rj_pid", "_rj_hit", "_rj_any", "_rj_rn"}
+    clash = reserved & set(points.columns) | reserved & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"range_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} first"
+        )
 
     # suffix colliding interval columns (except shared equi-keys)
     rename = {
@@ -114,26 +121,46 @@ def range_join(
         "_bin", F.explode(F.sequence(lo_bin, guard))
     )
 
-    pts = points.withColumn(
-        "_bin", F.floor(F.col(point_col).cast("double") / w).cast("long")
-    )
+    point_bin = F.floor(F.col(point_col).cast("double") / w).cast("long")
     cond = keys + ["_bin"]
-    matched = (
-        pts.join(iv_binned, cond, "inner")
-        .where(F.col(point_col).between(F.col(lo), F.col(hi)))
-        .drop("_bin")
-    )
     if how == "inner":
-        return matched
-    # left: unmatched points padded with NULL interval columns
-    iv_out = [c for c in iv_binned.columns if c not in cond]
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
-    )
-    for c in iv_out:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(iv_binned.dtypes)[c])
+        return (
+            points.withColumn("_bin", point_bin)
+            .join(iv_binned, cond, "inner")
+            .where(F.col(point_col).between(F.col(lo), F.col(hi)))
+            .drop("_bin")
         )
-    return matched.unionByName(unmatched)
+    # left: a surrogate row id (NOT an all-point-columns anti-join,
+    # which is null-unsafe — a matched row carrying a NULL attribute
+    # would be re-emitted as a spurious "unmatched" twin) plus one
+    # window over the id: matched rows pass through; a point with no
+    # surviving match keeps exactly one NULL-padded representative.
+    # Single lineage, so the nondeterministic id is only ever compared
+    # against itself within one evaluation.
+    pts = points.withColumn(
+        "_rj_pid", F.monotonically_increasing_id()
+    ).withColumn("_bin", point_bin)
+    joined = pts.join(iv_binned, cond, "left")
+    iv_out = [c for c in iv_binned.columns if c not in cond]
+    win = Window.partitionBy("_rj_pid")
+    res = (
+        joined.withColumn(
+            "_rj_hit",
+            F.coalesce(
+                F.col(point_col).between(F.col(lo), F.col(hi)), F.lit(False)
+            ),
+        )
+        .withColumn("_rj_any", F.max(F.col("_rj_hit").cast("int")).over(win))
+        .withColumn(
+            "_rj_rn", F.row_number().over(win.orderBy(F.lit(1)))
+        )
+        .where(
+            F.col("_rj_hit")
+            | ((F.col("_rj_any") == 0) & (F.col("_rj_rn") == 1))
+        )
+    )
+    # the unmatched representative's bin may have met an interval whose
+    # BETWEEN failed — null its interval columns out
+    for c in iv_out:
+        res = res.withColumn(c, F.when(F.col("_rj_hit"), F.col(c)))
+    return res.drop("_bin", "_rj_pid", "_rj_hit", "_rj_any", "_rj_rn")

@@ -25,10 +25,30 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["salted_join", "split_skew_join", "hot_keys"]
 
 _SUPPORTED = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (unordered, no canonical hash) anywhere
+    in a column's type tree — at plan time, with an opaque error."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _check_reserved(left: DataFrame, right: DataFrame, op: str) -> None:
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            f"{op} reserves the column name '_salt'; rename it first"
+        )
 
 
 def salted_join(
@@ -51,9 +71,23 @@ def salted_join(
         raise ValueError(
             f"salted_join supports {sorted(_SUPPORTED)}, not {how!r}"
         )
+    _check_reserved(left, right, "salted_join")
     keys = [on] if isinstance(on, str) else list(on)
+    # hash only hashable columns (xxhash64 fails at plan time on any
+    # Map-bearing type); the non-key columns provide the within-key
+    # spread, so fall back to a per-row id when every non-key column is
+    # a map (salt choice never affects the join result, only layout)
+    hashable = [
+        c
+        for c in left.columns
+        if not _contains_map(left.schema[c].dataType)
+    ]
+    spread = [F.col(c) for c in hashable if c not in keys]
+    if not spread:
+        spread = [F.monotonically_increasing_id()]
     salt: Column = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_n)
+        F.xxhash64(*[F.col(k) for k in keys if k in hashable], *spread),
+        F.lit(salt_n),
     ).cast("int")
     l_s = left.withColumn("_salt", salt)
     r_s = right.withColumn(

@@ -38,15 +38,24 @@ from grafeo_memory_spark.pipeline.dedup import shingle_hash
 
 __all__ = [
     "BloomFilter",
+    "ShardedBloomFilter",
     "bloom_parameters",
     "bloom_build",
+    "bloom_build_sharded",
     "bloom_might_contain",
     "bloom_filter_unseen",
+    "MAX_M_BITS_DEFAULT",
 ]
 
 #: seed stride separating the k hash functions (documented so the
 #: oracle and any other engine can reproduce seeds as salt*1009 + i)
 SEED_STRIDE = 1009
+
+#: hard ceiling on a single filter's plan-literal size (2^30 bits =
+#: 128 MiB packed ≈ the practical limit before plan serialization /
+#: codegen stalls dominate; ~90M keys at 1% fpp). Larger builds must
+#: go through :func:`bloom_build_sharded`.
+MAX_M_BITS_DEFAULT = 1 << 30
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -93,11 +102,46 @@ class BloomFilter:
         )
 
 
+@dataclass
+class ShardedBloomFilter:
+    """Key-space-sharded filter for builds past the single-literal cap:
+    shard = hash(key) % shards (seed disjoint from the probe seeds),
+    each shard an independent :class:`BloomFilter` with identical
+    (m_bits, k, salt). The Spark probe ships ONE array<array<bigint>>
+    literal and indexes the outer array by the shard id — still
+    map-only, still k getbit tests per row."""
+
+    shards: list[BloomFilter]
+    salt: int
+
+    def contains(self, value: str) -> bool:
+        seed = _shard_seed(self.salt)
+        h = int(
+            hashlib.md5(f"{value}#{seed}".encode()).hexdigest()[:15], 16
+        )
+        return self.shards[h % len(self.shards)].contains(value)
+
+
 def _position_cols(col: Column, m_bits: int, k: int, salt: int) -> list[Column]:
     return [
         F.pmod(shingle_hash(col, salt * SEED_STRIDE + i), F.lit(m_bits))
         for i in range(k)
     ]
+
+
+def _pack_words(m_bits: int, positions) -> list[int]:
+    words = [0] * (m_bits // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement signed so each word fits a Spark LongType literal
+    # (Python >> is arithmetic, so `contains` reads bits unchanged)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _shard_seed(salt: int) -> int:
+    """Seed for shard routing — negative namespace, disjoint from the
+    k probe seeds (which are all ``salt*SEED_STRIDE + i``, i >= 0)."""
+    return -(salt * SEED_STRIDE + 1)
 
 
 def bloom_build(
@@ -107,15 +151,32 @@ def bloom_build(
     n_items: int | None = None,
     fpp: float = 0.01,
     salt: int = 0,
+    max_m_bits: int = MAX_M_BITS_DEFAULT,
 ) -> BloomFilter:
     """Build a filter over the distinct non-null values of ``col``.
     ``n_items`` sizes the filter (defaults to a count() of the input —
     pass the expected key cardinality to skip that job). One explode +
     distinct; the collect is the set-bit list, ≤ ``min(n·k, m_bits)``
-    ints."""
+    ints.
+
+    Raises when the sized filter would exceed ``max_m_bits`` — an
+    oversized filter rides the plan as a multi-hundred-MB literal and
+    stalls plan serialization/codegen long before any OOM points at
+    the cause. Use :func:`bloom_build_sharded` past the cap."""
     if n_items is None:
         n_items = df.select(col).where(F.col(col).isNotNull()).count()
     m_bits, k = bloom_parameters(max(n_items, 1), fpp)
+    if m_bits > max_m_bits:
+        import math as _math
+
+        shards = _math.ceil(m_bits / max_m_bits)
+        raise ValueError(
+            f"bloom_build: n_items={n_items} at fpp={fpp} needs "
+            f"m_bits={m_bits} (> max_m_bits={max_m_bits}, ~"
+            f"{m_bits // (8 * 2**20)} MiB as a plan literal). Use "
+            f"bloom_build_sharded(..., shards>={shards}) to split the "
+            "key space, or raise fpp / shard by key-range yourself."
+        )
     pos_rows = (
         df.where(F.col(col).isNotNull())
         .select(
@@ -126,27 +187,93 @@ def bloom_build(
         .distinct()
         .collect()
     )
-    words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        p = r["pos"]
-        words[p >> 6] |= 1 << (p & 63)
-    # two's-complement signed so each word fits a Spark LongType literal
-    # (Python >> is arithmetic, so `contains` reads bits unchanged)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words = _pack_words(m_bits, (r["pos"] for r in pos_rows))
     return BloomFilter(m_bits=m_bits, k=k, salt=salt, words=words)
 
 
-def bloom_might_contain(col: Column | str, bloom: BloomFilter) -> Column:
+def bloom_build_sharded(
+    df: DataFrame,
+    col: str,
+    *,
+    shards: int,
+    n_items: int | None = None,
+    fpp: float = 0.01,
+    salt: int = 0,
+    max_m_bits: int = MAX_M_BITS_DEFAULT,
+) -> ShardedBloomFilter:
+    """Build past the single-literal cap by hashing the key space into
+    ``shards`` independent filters — ONE pass over the data (shard id +
+    k positions per key, distinct, collect ≤ min(n·k, shards·m) pairs),
+    each shard sized for n/shards keys. Probe cost is unchanged (the
+    shard id picks the inner array); total literal size is the same
+    m(n) bits but Spark serializes nested-array literals fine where one
+    giant flat literal stalls codegen."""
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    if n_items is None:
+        n_items = df.select(col).where(F.col(col).isNotNull()).count()
+    per_shard = max(1, -(-max(n_items, 1) // shards))
+    m_bits, k = bloom_parameters(per_shard, fpp)
+    if m_bits > max_m_bits:
+        raise ValueError(
+            f"bloom_build_sharded: {per_shard} keys/shard still needs "
+            f"m_bits={m_bits} > max_m_bits={max_m_bits}; raise shards"
+        )
+    c = F.col(col).cast("string")
+    shard_col = F.pmod(shingle_hash(c, _shard_seed(salt)), F.lit(shards))
+    pos_rows = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            shard_col.alias("shard"),
+            F.explode(
+                F.array(*_position_cols(c, m_bits, k, salt))
+            ).alias("pos"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_shard: list[list[int]] = [[] for _ in range(shards)]
+    for r in pos_rows:
+        by_shard[r["shard"]].append(r["pos"])
+    return ShardedBloomFilter(
+        shards=[
+            BloomFilter(
+                m_bits=m_bits, k=k, salt=salt, words=_pack_words(m_bits, ps)
+            )
+            for ps in by_shard
+        ],
+        salt=salt,
+    )
+
+
+def bloom_might_contain(
+    col: Column | str, bloom: BloomFilter | ShardedBloomFilter
+) -> Column:
     """Codegen membership probe: true ⇒ maybe present (fpp-bounded),
     false ⇒ definitely absent. NULL input → false. The bitmap rides
-    the plan as a single array<long> literal; each probe is k getbit
-    tests — map-only, no shuffle, no Python."""
+    the plan as a single array<long> (or array<array<long>> for a
+    sharded filter) literal; each probe is k getbit tests — map-only,
+    no shuffle, no Python."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    # explicit cast: an all-small-values words list would otherwise
-    # infer a narrower element type and getbit would reject pos >= 32
-    bits = F.lit(bloom.words).cast("array<bigint>")
+    if isinstance(bloom, ShardedBloomFilter):
+        first = bloom.shards[0]
+        # explicit cast as below; outer index = shard id
+        nested = F.lit([s.words for s in bloom.shards]).cast(
+            "array<array<bigint>>"
+        )
+        shard_ix = F.pmod(
+            shingle_hash(c, _shard_seed(bloom.salt)),
+            F.lit(len(bloom.shards)),
+        ).cast("int")
+        bits = F.element_at(nested, shard_ix + 1)
+        m_bits, k, salt = first.m_bits, first.k, first.salt
+    else:
+        # explicit cast: an all-small-values words list would otherwise
+        # infer a narrower element type and getbit would reject pos >= 32
+        bits = F.lit(bloom.words).cast("array<bigint>")
+        m_bits, k, salt = bloom.m_bits, bloom.k, bloom.salt
     checks = []
-    for pos in _position_cols(c, bloom.m_bits, bloom.k, bloom.salt):
+    for pos in _position_cols(c, m_bits, k, salt):
         word = F.element_at(bits, F.shiftright(pos, 6).cast("int") + 1)
         checks.append(F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
     out = checks[0]
@@ -156,7 +283,7 @@ def bloom_might_contain(col: Column | str, bloom: BloomFilter) -> Column:
 
 
 def bloom_filter_unseen(
-    df: DataFrame, col: str, bloom: BloomFilter
+    df: DataFrame, col: str, bloom: BloomFilter | ShardedBloomFilter
 ) -> DataFrame:
     """Keep only rows whose ``col`` is definitely NOT in the filter —
     the map-only first tier of incremental dedup (rows that pass are

@@ -341,7 +341,10 @@ def _write_prefix_code(
     """Emit a prefix code (simple when ≤2 symbols, else CL-coded) and
     return the encode table."""
     used = [s for s, ln in enumerate(lengths) if ln > 0]
-    if len(used) <= 2:
+    # The VP8L simple-code form stores symbols in at most 8 bits, so it
+    # only fits symbols <= 255; green-channel LZ77 copy codes (256+c)
+    # and color-cache codes (256+24+slot) must take the CL-coded path.
+    if len(used) <= 2 and all(s <= 255 for s in used):
         wtr.write_bit(1)  # simple
         wtr.write_bit(1 if len(used) == 2 else 0)
         s0 = used[0] if used else 0
@@ -351,6 +354,12 @@ def _write_prefix_code(
             wtr.write_bits(used[1], 8)
             return {used[0]: (0, 1), used[1]: (1, 1)}
         return {s0: (0, 0)}
+    if len(used) == 1:
+        # single wide symbol: pad a never-emitted second symbol so the
+        # CL-coded table forms a complete 1-bit canonical code
+        lengths = list(lengths)
+        lengths[used[0]] = 1
+        lengths[0 if used[0] != 0 else 1] = 1
     wtr.write_bit(0)  # complex
     # run-length compress the lengths with 0-runs as 17/18
     events: list[tuple[int, int, int]] = []  # (cl_symbol, extra, nbits)

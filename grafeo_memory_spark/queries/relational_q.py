@@ -309,6 +309,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     durs AS (
       SELECT user_id, session_seq, ts, value,
+             CAST(value AS DECIMAL(14,6)) AS vdec,
              lead(epoch_us(ts)) OVER (
                PARTITION BY user_id, session_seq
                ORDER BY ts, event_id) - epoch_us(ts) AS dur
@@ -318,10 +319,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us,
-           round(sum(value), 4) AS total_value,
+           CAST(round(sum(vdec), 4) AS DOUBLE) AS total_value,
            round(CASE WHEN sum(dur) > 0
-                      THEN sum(value * dur) / sum(dur)
-                      ELSE avg(value) END, 6) AS twa_value
+                      THEN CAST(sum(vdec * dur) AS DOUBLE)
+                           / CAST(sum(dur) AS DOUBLE)
+                      ELSE CAST(sum(vdec) AS DOUBLE) / count(value)
+                      END, 6) AS twa_value
     FROM durs
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -359,13 +362,20 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-weighted average inside each session (the timeseries rollup
     # `operators/windows.time_weighted_avg` packages standalone): each
     # value holds until the next event; exact integer micros on both
-    # sides so the weights are bit-identical with the oracle's epoch_us
+    # sides so the weights are bit-identical with the oracle's epoch_us.
+    # Sums run in DECIMAL so the result is independent of the partial-
+    # aggregate merge order (double sums flap the value hash across
+    # runs); decimal(14,6) × bigint micros stays exact in both engines
+    # (Spark decimal(35,6), DuckDB width 32 — no precision loss), and
+    # the cast to double / division / final round happen only on the
+    # already-exact aggregates.
     wdur = Window.partitionBy("user_id", "session_seq").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
     sess = (
         sessionize(ev, ["user_id"], "ts", gap, tiebreak="event_id")
         .withColumn("_us", us)
+        .withColumn("_vdec", F.col("value").cast("decimal(14,6)"))
         .withColumn("_dur", F.lead("_us").over(wdur) - F.col("_us"))
     )
     return (
@@ -374,12 +384,15 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             first,
             last,
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum("_vdec"), 4).cast("double").alias("total_value"),
             F.round(
                 F.when(
                     F.sum("_dur") > 0,
-                    F.sum(F.col("value") * F.col("_dur")) / F.sum("_dur"),
-                ).otherwise(F.avg("value")),
+                    F.sum(F.col("_vdec") * F.col("_dur")).cast("double")
+                    / F.sum("_dur").cast("double"),
+                ).otherwise(
+                    F.sum("_vdec").cast("double") / F.count("value")
+                ),
                 6,
             ).alias("twa_value"),
         )

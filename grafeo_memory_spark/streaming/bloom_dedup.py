@@ -94,6 +94,23 @@ class BloomDedupSink:
             os.path.join(self.state_path, f"bloom_v{vs[-1]}.json")
         ) as fh:
             d = json.load(fh)
+        # the update path ORs positions computed with the *configured*
+        # (m_bits, k, salt) into the stored words — a restart with a
+        # different expected_keys/fpp/salt would silently mis-probe (or
+        # IndexError on a size mismatch), so refuse a divergent state
+        if (d["m_bits"], d["k"], d["salt"]) != (
+            self.m_bits,
+            self.k,
+            self.salt,
+        ):
+            raise ValueError(
+                "BloomDedupSink: persisted filter was built with "
+                f"(m_bits={d['m_bits']}, k={d['k']}, salt={d['salt']}) "
+                f"but the sink is configured for (m_bits={self.m_bits}, "
+                f"k={self.k}, salt={self.salt}). Keep expected_keys/fpp/"
+                "salt stable across restarts, or rebuild the state by "
+                "replaying the survivors into a fresh state_path."
+            )
         return BloomFilter(
             m_bits=d["m_bits"], k=d["k"], salt=d["salt"], words=d["words"]
         )

@@ -227,3 +227,28 @@ class TestTimeWeightedAvg:
         df = spark.createDataFrame(rows, "k long, ts long, v double")
         twa = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]["twa"]
         assert twa < 0.02
+
+
+class TestAsofNullKeys:
+    """VERDICT r5 #3: NULL keys never match (join-equality / DuckDB
+    ASOF ON semantics) — the window partitionBy groups NULL with NULL,
+    so without the guard a NULL-key left row picked up a NULL-key
+    right row."""
+
+    def test_null_key_left_row_gets_null_values(self, spark):
+        left = spark.createDataFrame(
+            [(None, 10, "l1"), ("a", 10, "l2")],
+            "k string, ts int, lbl string",
+        )
+        right = spark.createDataFrame(
+            [(None, 5, 99.0), ("a", 5, 1.5)], "k string, ts int, v double"
+        )
+        rows = {
+            r["lbl"]: r
+            for r in asof_join(
+                left, right, on="k", ts_col="ts", value_cols=["v"]
+            ).collect()
+        }
+        assert rows["l1"]["v"] is None  # NULL key: no match
+        assert rows["l2"]["v"] == 1.5   # normal key still matches
+        assert len(rows) == 2           # left row count preserved

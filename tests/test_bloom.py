@@ -126,3 +126,65 @@ def test_probe_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+class TestCapAndSharding:
+    """VERDICT r5 #4: a single filter past ``max_m_bits`` rides the
+    plan as a multi-hundred-MB literal — builds must raise with
+    sharding advice, and the sharded build must round-trip."""
+
+    def test_oversized_build_raises(self, spark):
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="bloom_build_sharded"):
+            bloom_build(df, "v", n_items=1_000_000_000)
+
+    def test_custom_cap_respected(self, spark):
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="max_m_bits"):
+            bloom_build(df, "v", n_items=100_000, max_m_bits=1 << 10)
+
+    def test_sharded_round_trip_and_parity(self, spark):
+        from grafeo_memory_spark.pipeline.bloom import bloom_build_sharded
+
+        vals = [(f"doc-{i}",) for i in range(300)]
+        df = spark.createDataFrame(vals, "v string")
+        sbf = bloom_build_sharded(df, "v", shards=4, n_items=300)
+        assert len(sbf.shards) == 4
+        # no false negatives, driver replay == Spark probe
+        probe = spark.createDataFrame(
+            vals + [(f"new-{i}",) for i in range(200)], "v string"
+        )
+        got = {
+            r["v"]: r["hit"]
+            for r in probe.select(
+                "v", bloom_might_contain("v", sbf).alias("hit")
+            ).collect()
+        }
+        for (v,) in vals:
+            assert got[v] is True, f"false negative {v}"
+            assert sbf.contains(v) is True
+        fp = sum(got[f"new-{i}"] for i in range(200))
+        assert fp <= 20  # 1% design fpp, generous slack
+        for i in range(200):
+            assert sbf.contains(f"new-{i}") == got[f"new-{i}"]
+
+    def test_sharded_unseen_filter(self, spark):
+        from grafeo_memory_spark.pipeline.bloom import bloom_build_sharded
+
+        seen = spark.createDataFrame([(f"s{i}",) for i in range(50)], "v string")
+        sbf = bloom_build_sharded(seen, "v", shards=2, n_items=50)
+        new = spark.createDataFrame(
+            [("s1",), ("neverseen-xyz",)], "v string"
+        )
+        out = [r["v"] for r in bloom_filter_unseen(new, "v", sbf).collect()]
+        assert "s1" not in out
+
+    def test_sharded_still_needs_sane_shards(self, spark):
+        from grafeo_memory_spark.pipeline.bloom import bloom_build_sharded
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="raise shards"):
+            bloom_build_sharded(
+                df, "v", shards=2, n_items=10_000_000, max_m_bits=1 << 12
+            )
+        with pytest.raises(ValueError, match="shards"):
+            bloom_build_sharded(df, "v", shards=0, n_items=10)

@@ -144,3 +144,21 @@ def test_yolo_flag_parses(spark):
     eng = MemoryEngine(spark, now_fn=tick)
     code, out = _run(eng, "--yolo", "--json", "stats")
     assert code == 0
+
+
+def test_python_dash_m_entry():
+    """Parity with the reference's `python -m` module entry."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "grafeo_memory_spark", "--version"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    from grafeo_memory_spark import __version__
+
+    assert proc.stdout.strip() == __version__

@@ -150,3 +150,61 @@ def test_plan_has_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+class TestLeftNullPassthrough:
+    """VERDICT r5 #2: a matched point carrying a NULL in any
+    passthrough column must appear exactly once (the old all-columns
+    anti-join was null-unsafe and re-emitted it as a spurious
+    NULL-padded 'unmatched' twin)."""
+
+    def test_null_attribute_matched_once(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5.0, None), (2, 50.0, "x")], "pid int, x double, tag string"
+        )
+        iv = spark.createDataFrame(
+            [(10, 0.0, 10.0)], "iid int, lo double, hi double"
+        )
+        rows = sorted(
+            range_join(
+                pts, iv, point_col="x", lo_col="lo", hi_col="hi",
+                how="left", bin_width=10.0,
+            ).collect(),
+            key=lambda r: r["pid"],
+        )
+        assert len(rows) == 2
+        assert rows[0]["iid"] == 10 and rows[0]["tag"] is None
+        assert rows[1]["iid"] is None and rows[1]["lo"] is None
+
+    def test_null_point_kept_unmatched_once(self, spark):
+        pts = spark.createDataFrame(
+            [(1, None, "a")], "pid int, x double, tag string"
+        )
+        iv = spark.createDataFrame(
+            [(10, 0.0, 10.0)], "iid int, lo double, hi double"
+        )
+        rows = range_join(
+            pts, iv, point_col="x", lo_col="lo", hi_col="hi",
+            how="left", bin_width=10.0,
+        ).collect()
+        assert len(rows) == 1 and rows[0]["iid"] is None
+
+    def test_bin_hit_between_miss_padded_null(self, spark):
+        # point shares a bin with an interval but fails BETWEEN: the
+        # unmatched representative must have NULLed interval columns
+        pts = spark.createDataFrame([(1, 9.0)], "pid int, x double")
+        iv = spark.createDataFrame(
+            [(10, 0.0, 5.0)], "iid int, lo double, hi double"
+        )
+        rows = range_join(
+            pts, iv, point_col="x", lo_col="lo", hi_col="hi",
+            how="left", bin_width=10.0,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["iid"] is None and rows[0]["lo"] is None
+
+    def test_reserved_names_rejected(self, spark):
+        pts = spark.createDataFrame([(1, 5.0, 0)], "pid int, x double, _rj_pid int")
+        iv = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+        with pytest.raises(ValueError, match="reserves"):
+            range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi")

@@ -101,3 +101,35 @@ class TestSplitSkewJoin:
         left, right = skewed
         out = split_skew_join(left, right, "k", hot_threshold=10_000)
         assert _as_set(out) == _as_set(left.join(right, "k"))
+
+
+class TestReservedAndMapTypes:
+    """ADVICE r5 (low): '_salt' inputs must be rejected and map-typed
+    columns must not reach xxhash64 (plan-time failure)."""
+
+    def test_salt_column_rejected(self, spark, skewed):
+        left, right = skewed
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(left.withColumn("_salt", F.lit(1)), right, "k")
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(left, right.withColumn("_salt", F.lit(1)), "k")
+
+    def test_map_column_survives_salting(self, spark, skewed):
+        left, right = skewed
+        lmap = left.withColumn(
+            "props", F.create_map(F.lit("a"), F.col("lval"))
+        )
+        out = salted_join(lmap, right, "k")
+        plain = lmap.join(right, "k")
+        assert out.count() == plain.count()
+        assert set(out.columns) == set(plain.columns)
+
+    def test_all_nonkey_map_falls_back(self, spark):
+        left = spark.range(50).select(
+            (F.col("id") % 3).alias("k"),
+            F.create_map(F.lit("x"), F.col("id")).alias("m"),
+        )
+        right = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+        )
+        assert salted_join(left, right, "k").count() == 50

@@ -92,3 +92,34 @@ class TestBloomDedupSink:
         sink(_docs(spark, [(2, T0 + 1, BETA)]), 1)
         r2 = sink.fill_ratio()
         assert 0 < r1 < r2 < 0.05
+
+
+class TestStateValidation:
+    """ADVICE r5 (low): a restart with different expected_keys/fpp/salt
+    must refuse the divergent persisted filter instead of mis-probing
+    or IndexError-ing."""
+
+    def test_divergent_config_raises(self, spark, tmp_path):
+        import pytest
+
+        src = str(tmp_path / "in")
+        _write_batch(spark, src, [(1, T0, ALPHA)])
+        run_bloom_dedup_stream(
+            spark, src, str(tmp_path / "ck"), expected_keys=1000
+        )
+        resized = BloomDedupSink(
+            survivors_path=str(tmp_path / "ck" / "_survivors"),
+            state_path=str(tmp_path / "ck" / "_state"),
+            expected_keys=5000,
+        )
+        with pytest.raises(ValueError, match="persisted filter"):
+            resized._read_filter()
+
+    def test_same_config_reads_fine(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        _write_batch(spark, src, [(1, T0, ALPHA)])
+        sink = run_bloom_dedup_stream(
+            spark, src, str(tmp_path / "ck"), expected_keys=1000
+        )
+        bf = sink._read_filter()
+        assert bf.m_bits == sink.m_bits and bf.k == sink.k

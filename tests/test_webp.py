@@ -137,3 +137,26 @@ class TestValidation:
         img = _gradient(10, 14)
         out = decode_image(encode_webp_lossless(img))
         assert np.array_equal(out[:, :, :3], img)
+
+
+class TestSolidColorSimpleCode:
+    """ADVICE r5 (high): the VP8L simple prefix-code form stores symbols
+    in 8 bits, so wide green-channel symbols (LZ77 copy codes 256+c,
+    color-cache codes 280+slot) must take the CL-coded path — a solid
+    color image (one literal + one copy token) used to emit a corrupt
+    bitstream."""
+
+    @pytest.mark.parametrize(
+        "color", [[255, 0, 0], [0, 0, 0], [7, 200, 13], [255, 255, 255]]
+    )
+    def test_solid_color_round_trips(self, color):
+        img = np.full((4, 4, 3), color, dtype=np.uint8)
+        out = decode_webp(encode_webp_lossless(img))
+        assert np.array_equal(out[:, :, :3], img)
+
+    def test_two_tone_rows_round_trip(self):
+        # long runs -> copy-code-dominated green alphabet
+        img = np.zeros((8, 32, 3), dtype=np.uint8)
+        img[4:] = [200, 100, 50]
+        out = decode_webp(encode_webp_lossless(img))
+        assert np.array_equal(out[:, :, :3], img)
