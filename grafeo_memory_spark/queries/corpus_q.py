@@ -33,7 +33,11 @@ from grafeo_memory_spark.pipeline.sampling import (
     take_per_key,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.queries.pipeline_ops_q import _hash_sql, _shingles_sql
+from grafeo_memory_spark.queries.pipeline_ops_q import (
+    _QUALITY_SQL,
+    _hash_sql,
+    _shingles_sql,
+)
 from grafeo_memory_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------- SQL
@@ -474,3 +478,275 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lm_ppl", 6).alias("lm_ppl"),
         "lm_bucket",
     ).orderBy("doc_id")
+
+
+@query(
+    "tokenize_chunk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    words AS (
+      SELECT 'word' AS kind, count(*) AS k1,
+             CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+             word AS s
+      FROM (SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\s+'), t -> t <> ''))
+              AS word FROM documents)
+      GROUP BY word
+      ORDER BY k1 DESC, word ASC
+      LIMIT 50
+    ),
+    starts AS (
+      SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st FROM toks
+    ),
+    chunks AS (
+      SELECT 'chunk' AS kind, doc_id AS k1,
+             CAST(st // 24 AS BIGINT) AS k2,
+             CAST(least(32, len(tk) - st) AS BIGINT) AS k3,
+             md5(array_to_string(list_slice(tk, st + 1, st + 32), ' ')) AS s
+      FROM starts
+    )
+    SELECT * FROM words
+    UNION ALL
+    SELECT * FROM chunks
+    ORDER BY kind, k1, k2, s
+    """,
+)
+def q_tokenize_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer base + token-budget chunking in one driver row
+    (VERDICT r5 item 3): the corpus word-frequency table
+    (`pipeline/tokenizer.word_counts` — the ONE corpus-wide shuffle BPE
+    training is built on, top-50 types by count desc / word asc) tagged
+    'word', and the fixed-window chunker
+    (`pipeline/chunking.chunk_documents`, max_tokens=32 overlap=8 →
+    step 24; one map-side posexplode, no shuffle) tagged 'chunk' with
+    each window's md5 so the hash pins the exact window *content*, not
+    just the arithmetic. The oracle replays the windows with
+    `range(0, len, step)` + `list_slice` — the same starts-strictly-
+    inside contract."""
+    from grafeo_memory_spark.pipeline.chunking import chunk_documents
+    from grafeo_memory_spark.pipeline.tokenizer import word_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = word_counts(docs, "text", lowercase=True, max_types=50)
+    words = wc.select(
+        F.lit("word").alias("kind"),
+        F.col("count").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        F.col("word").alias("s"),
+    )
+    ch = chunk_documents(
+        docs.select("doc_id", "text"),
+        "text",
+        "doc_id",
+        max_tokens=32,
+        overlap=8,
+    )
+    chunks = ch.select(
+        F.lit("chunk").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("chunk_idx").cast("long").alias("k2"),
+        F.col("chunk_tokens").cast("long").alias("k3"),
+        F.md5("chunk_text").alias("s"),
+    )
+    return words.unionByName(chunks).orderBy("kind", "k1", "k2", "s")
+
+
+#: synthesized-URL cases: the driver tables carry no URL column, so
+#: both engines construct the SAME deterministic URL per doc_id (mod-6
+#: case mix covering every normalize_url rule), and the oracle derives
+#: the expected canonical form CONSTRUCTIVELY from the case fields —
+#: an independent spec replay, not a port of the regexp cascade.
+_URL_CASE_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/Docs/'
+                    || doc_id || '/'
+        WHEN 1 THEN 'HTTP://' || source
+                    || '.blog.example.CO.UK:80/a/b?utm_source=x&q='
+                    || doc_id || '&fbclid=z'
+        WHEN 2 THEN 'https://user:pw@' || source || '.news.org:8443/p?ref=h&id='
+                    || doc_id
+        WHEN 3 THEN 'http://localhost:80/x/'
+        WHEN 4 THEN 'ftp://files.' || source || '.net/data/' || doc_id
+                    || '#frag'
+        ELSE 'not a url ' || doc_id
+      END
+"""
+
+_URL_NORM_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'https://' || source || '.example.com/Docs/' || doc_id
+        WHEN 1 THEN 'http://' || source || '.blog.example.co.uk/a/b?q='
+                    || doc_id
+        WHEN 2 THEN 'https://' || source || '.news.org:8443/p?id=' || doc_id
+        WHEN 3 THEN 'http://localhost/x'
+        WHEN 4 THEN 'ftp://files.' || source || '.net/data/' || doc_id
+        ELSE CAST(NULL AS VARCHAR)
+      END
+"""
+
+_URL_DOMAIN_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'example.co.uk'
+        WHEN 2 THEN 'news.org'
+        WHEN 3 THEN 'localhost'
+        WHEN 4 THEN source || '.net'
+        ELSE CAST(NULL AS VARCHAR)
+      END
+"""
+
+
+@query(
+    "url_curation",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             {_URL_NORM_SQL} AS norm,
+             {_URL_DOMAIN_SQL} AS domain
+      FROM documents
+    ),
+    urls AS (
+      SELECT 'url' AS kind, doc_id AS id, domain, norm, md5(norm) AS key,
+             CAST(NULL AS BIGINT) AS n_pages, CAST(NULL AS BIGINT) AS n_urls
+      FROM u
+    ),
+    doms AS (
+      SELECT 'dom' AS kind, CAST(NULL AS BIGINT) AS id, domain,
+             CAST(NULL AS VARCHAR) AS norm, CAST(NULL AS VARCHAR) AS key,
+             count(*) AS n_pages, count(DISTINCT md5(norm)) AS n_urls
+      FROM u WHERE domain IS NOT NULL
+      GROUP BY domain
+    )
+    SELECT * FROM urls
+    UNION ALL
+    SELECT * FROM doms
+    ORDER BY kind, id, domain
+    """,
+)
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation (`pipeline/urls.py`; VERDICT r5 item 3):
+    canonicalization (scheme/host lowercase, www. strip, default-port
+    drop, fragment drop, tracking-param strip incl. an emptied-? and
+    leading/trailing &, trailing-slash drop, userinfo strip),
+    registered-domain extraction (last-2 labels, co.uk-family last-3,
+    single-label passthrough), the md5 dedup key, and the
+    `domain_stats` rollup (n_pages + DISTINCT canonical URLs — the
+    localhost case collapses to one URL, so countDistinct is load-
+    bearing). URLs are synthesized deterministically per doc_id (mod-6
+    case mix exercising every rule); the oracle states the *expected*
+    canonical form per case constructively, so Spark's regexp cascade
+    is verified against an independent statement of the contract, not
+    a twin implementation. Everything outside the stats rollup is pure
+    Column codegen — map-only at 100 TB."""
+    from grafeo_memory_spark.pipeline.urls import (
+        domain_stats,
+        registered_domain,
+        normalize_url,
+        url_dedup_key,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/Docs/"), sid, F.lit("/"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTP://"), F.col("source"),
+                F.lit(".blog.example.CO.UK:80/a/b?utm_source=x&q="), sid,
+                F.lit("&fbclid=z"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://user:pw@"), F.col("source"),
+                F.lit(".news.org:8443/p?ref=h&id="), sid,
+            ),
+        )
+        .when(m == 3, F.lit("http://localhost:80/x/"))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("ftp://files."), F.col("source"),
+                F.lit(".net/data/"), sid, F.lit("#frag"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    with_url = docs.select("doc_id", raw.alias("url"))
+    urls = with_url.select(
+        F.lit("url").alias("kind"),
+        F.col("doc_id").alias("id"),
+        registered_domain(F.col("url")).alias("domain"),
+        normalize_url(F.col("url")).alias("norm"),
+        url_dedup_key(F.col("url")).alias("key"),
+        F.lit(None).cast("long").alias("n_pages"),
+        F.lit(None).cast("long").alias("n_urls"),
+    )
+    doms = domain_stats(with_url, "url").select(
+        F.lit("dom").alias("kind"),
+        F.lit(None).cast("long").alias("id"),
+        "domain",
+        F.lit(None).cast("string").alias("norm"),
+        F.lit(None).cast("string").alias("key"),
+        "n_pages",
+        "n_urls",
+    )
+    return urls.unionByName(doms).orderBy("kind", "id", "domain")
+
+
+@query(
+    "quality_pareto",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, round({_QUALITY_SQL}, 6) AS q FROM documents
+    ),
+    draws AS (
+      SELECT doc_id, q,
+             pow(greatest(
+               ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))
+                 ::BIGINT::DOUBLE / 4294967296.0,
+               1e-12), -1.0 / 9.0) - 1.0 AS draw
+      FROM scored
+    )
+    SELECT doc_id, q FROM draws
+    WHERE (1.0 - q) < draw
+    ORDER BY doc_id
+    """,
+)
+def q_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 Pareto acceptance rule
+    (`pipeline/quality_classifier.pareto_filter`; VERDICT r5 item 3):
+    keep a document iff ``(1 - score) < u^(-1/alpha) - 1`` where u is
+    the repo's deterministic md5(id:salt) uniform — the rule that
+    biases the filtered corpus toward high scores while keeping tail
+    diversity. The score here is the oracle-shared text-quality
+    composite (the trained pyspark.ml classifier itself is pinned by
+    `tests/test_quality_classifier.py`; its acceptance arithmetic is
+    identical to this row). Map-only: scoring and the draw are pure
+    Column expressions over the scan."""
+    from grafeo_memory_spark.pipeline.quality_classifier import pareto_filter
+    from grafeo_memory_spark.pipeline.text_stats import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("q")
+    )
+    return (
+        pareto_filter(scored, score_col="q", id_col="doc_id", alpha=9.0, salt=3)
+        .select("doc_id", "q")
+        .orderBy("doc_id")
+    )

@@ -528,35 +528,8 @@ def q_community_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lookup_point_property",
-    oracle=f"""
-    SELECT 'point' AS kind, id, text FROM {_MEM} WHERE id = 42
-    UNION ALL
-    SELECT 'property' AS kind, id, CAST(NULL AS VARCHAR) AS text
-    FROM {_ENT} WHERE entity_type = 'location'
-    ORDER BY kind, id
-    """,
-)
-def q_lookup_point_property(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 + S4 in one query (merged so the registry fits the driver's
-    50-query snapshot): point lookup by node id (`get_node`,
-    `protocol.py:68`) tagged 'point', unioned with node ids by property
-    value (`find_nodes_by_property`, `protocol.py:76`) tagged
-    'property'."""
-    from grafeo_memory_spark.operators.filters import find_by_property, point_lookup
-
-    mem = load_fixture(spark, sf_dir, "memories")
-    ent = load_fixture(spark, sf_dir, "entities")
-    point = point_lookup(mem, 42).select(
-        F.lit("point").alias("kind"), "id", "text"
-    )
-    prop = find_by_property(ent, "entity_type", "location").select(
-        F.lit("property").alias("kind"),
-        "id",
-        F.lit(None).cast("string").alias("text"),
-    )
-    return point.unionByName(prop).orderBy("kind", "id")
+# S3/S4 point + property lookup moved into `filter_ops`
+# (relational_q.py) in r6 to free a registry slot for the corpus ops.
 
 
 @query(

@@ -159,70 +159,53 @@ _DUCK_COS_AB = (
 # ------------------------------------------------------------ queries
 
 
-@query(
-    "exact_dedup",
-    oracle=f"""
-    WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),
-    keep AS (SELECT hh, min(doc_id) AS k FROM h GROUP BY hh)
-    SELECT h.doc_id FROM h JOIN keep ON h.hh = keep.hh AND h.doc_id = keep.k
-    ORDER BY h.doc_id
-    """,
-)
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 of normalized text, keep the smallest id per
-    content group. One shuffle on the 128-bit hash — the baseline pass
-    every training-data pipeline runs first."""
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
-
-
-@query(
-    "minhash_signatures",
-    oracle=f"""
-    SELECT doc_id,
-           {_minhash_sql(3, 0)} AS m0,
-           {_minhash_sql(3, 1)} AS m1,
-           {_minhash_sql(3, 2)} AS m2,
-           {_minhash_sql(3, 3)} AS m3
-    FROM documents ORDER BY doc_id
-    """,
-)
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (first 4 of 16 permutations shown): min over
-    word-trigram shingle hashes per salted hash function. The sketch
-    itself is oracle-verified bit-for-bit — the LSH banding above it is
-    pure arithmetic on these values."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
-    return sig.select(
-        F.col("id").alias("doc_id"),
-        *[F.col("sig")[k].alias(f"m{k}") for k in range(4)],
-    ).orderBy("doc_id")
+# exact_dedup's driver rows moved into `doc_fingerprints` (the `kept`
+# column) and minhash_signatures' into `simhash_fingerprints` (m0..m3)
+# in r6 to free registry slots for the corpus ops; the standalone
+# operators keep their own oracle-replay tests.
 
 
 @query(
     "simhash_fingerprints",
     oracle=f"""
     SELECT doc_id, {_simhash16_sql()} AS simhash,
-           {_simhash64_sql()} AS simhash64
+           {_simhash64_sql()} AS simhash64,
+           {_minhash_sql(3, 0)} AS m0,
+           {_minhash_sql(3, 1)} AS m1,
+           {_minhash_sql(3, 2)} AS m2,
+           {_minhash_sql(3, 3)} AS m3
     FROM documents
     ORDER BY doc_id
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash per document (unigram votes on portable hash bits) —
-    near-dups differ in few bits; Hamming-ball blocking rides on top.
-    Both widths in one row: the 16-bit continuity sketch and the
-    production 64-bit one, whose vote bits all come from the single
-    seed-0 md5 per gram (hex chars 1-15 → bits 0..59, so bits 0..15
-    coincide with simhash16; chars 16-30 → bits 60..63), each
-    hash-verified bit-for-bit."""
+    """Hash sketches per document, one row each (the former standalone
+    `minhash_signatures` slot is folded in as m0..m3 — r6 registry
+    consolidation). SimHash (unigram votes on portable hash bits; both
+    the 16-bit continuity sketch and the production 64-bit one, whose
+    vote bits all come from the single seed-0 md5 per gram: hex chars
+    1-15 → bits 0..59, so bits 0..15 coincide with simhash16; chars
+    16-30 → bits 60..63) next to the first 4 of 16 MinHash permutations
+    (min over word-trigram shingle hashes per salted hash function).
+    Every sketch hash-verified bit-for-bit; the LSH banding above the
+    MinHash columns is pure arithmetic on these values."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
+    sketches = docs.select(
         "doc_id",
         simhash16("text").alias("simhash"),
         simhash64("text").alias("simhash64"),
-    ).orderBy("doc_id")
+    )
+    return (
+        sketches.join(
+            sig.select(
+                F.col("id").alias("doc_id"),
+                *[F.col("sig")[k].alias(f"m{k}") for k in range(4)],
+            ),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -437,22 +420,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_fingerprints",
     oracle=f"""
-    SELECT doc_id,
+    WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),
+    keep AS (SELECT hh, min(doc_id) AS k FROM h GROUP BY hh)
+    SELECT d.doc_id,
            md5(array_to_string(list_transform(
              list_sort(list_transform({_shingles_sql(3)},
                                       s -> {_hash_sql('s', 0)}))[1:8],
-             v -> v::VARCHAR), ',')) AS fp
-    FROM documents ORDER BY doc_id
+             v -> v::VARCHAR), ',')) AS fp,
+           (d.doc_id IN (SELECT k FROM keep)) AS kept
+    FROM documents d ORDER BY d.doc_id
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-8 sketch fingerprint per document (k smallest trigram
     hashes, md5-folded) — a compact blocking key for near-dup
-    clustering."""
+    clustering — plus ``kept``: whether the document survives exact
+    dedup (md5 of normalized text, smallest id per content group; the
+    former standalone `exact_dedup` slot, folded here in r6). The
+    exact pass stays ONE shuffle on the 128-bit hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
-    ).orderBy("doc_id")
+    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    return (
+        docs.select(
+            "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
+        )
+        .join(
+            survivors.withColumn("kept", F.lit(True)), "doc_id", "left"
+        )
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+        .orderBy("doc_id")
+    )
 
 
 _DUCK_COS_EC2 = (

@@ -19,11 +19,14 @@ from pyspark.sql import types as T
 
 from grafeo_memory_spark.operators.filters import (
     compile_filters,
+    find_by_property,
+    point_lookup,
     scope_filter,
     time_range,
     valid_at_point,
 )
 from grafeo_memory_spark.operators.asof import asof_join
+from grafeo_memory_spark.operators.range_join import range_join
 from grafeo_memory_spark.operators.windows import (
     drop_newest,
     latest_per_group,
@@ -32,7 +35,12 @@ from grafeo_memory_spark.operators.windows import (
     top_k_per_group,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_table
+from grafeo_memory_spark.sources.tables import load_fixture, load_table
+
+#: correctness gate runs at sf0.01 — oracle SQL reads fixtures there
+_FIX = "/root/repo/fixtures/sf0.01"
+_MEM = f"read_parquet('{_FIX}/memories.parquet')"
+_ENT = f"read_parquet('{_FIX}/entities.parquet')"
 
 
 @query(
@@ -58,19 +66,29 @@ from grafeo_memory_spark.sources.tables import load_table
     FROM events
     WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 50
     GROUP BY event_type
+    UNION ALL
+    SELECT 'point' AS kind, id, text AS name, CAST(NULL AS DOUBLE) AS val
+    FROM {mem} WHERE id = 42
+    UNION ALL
+    SELECT 'property' AS kind, id, CAST(NULL AS VARCHAR) AS name,
+           CAST(NULL AS DOUBLE) AS val
+    FROM {ent} WHERE entity_type = 'location'
     ORDER BY kind, id, name
-    """,
+    """.format(mem=_MEM, ent=_ENT),
 )
 def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + F2 + X3 in one driver row (F1/F2 merged in r4 to free
-    registry slots; X3 folded in this round to free the
-    `graph_metrics` slot): the conjunctive equality scope filter
-    (`manager.py:164-175`) tagged 'scope', the Mongo-style `$op`
-    predicate compiler (`search/vector.py:351-381`:
-    $gte/$lt/$in/$contains/$ne/$nin) tagged 'ops', and JSON-encoded
-    property extraction + predicate + rollup (`metadata` parse,
-    `search/vector.py:422-433`, regex form shared with the oracle)
-    tagged 'json'. All predicate sets push down to their Parquet scans.
+    """F1 + F2 + X3 + S3 + S4 in one driver row (F1/F2 merged in r4 to
+    free registry slots; X3 folded for `graph_metrics`; the former
+    `lookup_point_property` slot folded in r6 to seat the corpus ops):
+    the conjunctive equality scope filter (`manager.py:164-175`) tagged
+    'scope', the Mongo-style `$op` predicate compiler
+    (`search/vector.py:351-381`: $gte/$lt/$in/$contains/$ne/$nin)
+    tagged 'ops', JSON-encoded property extraction + predicate + rollup
+    (`metadata` parse, `search/vector.py:422-433`, regex form shared
+    with the oracle) tagged 'json', point lookup by node id
+    (`get_node`, `protocol.py:68`) tagged 'point', and node ids by
+    property value (`find_nodes_by_property`, `protocol.py:76`) tagged
+    'property'. All predicate sets push down to their Parquet scans.
     """
     cust = load_table(spark, sf_dir, "customer")
     scope = cust.where(
@@ -111,8 +129,25 @@ def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+    mem = load_fixture(spark, sf_dir, "memories")
+    ent = load_fixture(spark, sf_dir, "entities")
+    point = point_lookup(mem, 42).select(
+        F.lit("point").alias("kind"),
+        "id",
+        F.col("text").alias("name"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    prop = find_by_property(ent, "entity_type", "location").select(
+        F.lit("property").alias("kind"),
+        "id",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
-        scope.unionByName(ops).unionByName(json_part)
+        scope.unionByName(ops)
+        .unionByName(json_part)
+        .unionByName(point)
+        .unionByName(prop)
         .orderBy("kind", "id", "name")
     )
 
@@ -398,6 +433,66 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT DISTINCT user_id, epoch_us(ts) AS lo_us,
+             epoch_us(ts) + 1800000000 AS hi_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           round(p.value, 4) AS purchase_value, c.lo_us, c.hi_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_us BETWEEN c.lo_us AND c.hi_us
+    ORDER BY p.event_id, c.lo_us
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (`operators/range_join.range_join`; VERDICT
+    r5 item 3) — promo-window attribution: every purchase left-joins
+    the 30-minute windows opened by that user's clicks (inclusive
+    bounds, per-user equi-key), purchases outside every window kept
+    NULL-padded — the path fixed this round (surrogate-id window, not
+    the null-unsafe all-columns anti-join). The DuckDB oracle is the
+    plain non-equi LEFT JOIN; Spark's plan is the bin equi-join
+    (bin_width = the window span, so every interval explodes into ≤2
+    bins) and provably no BroadcastNestedLoopJoin."""
+    ev = load_table(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        us = F.expr("ts div 1000")
+    else:
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    half_hour_us = 1_800_000_000
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    windows = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", us.alias("lo_us"))
+        .distinct()
+        .withColumn("hi_us", F.col("lo_us") + F.lit(half_hour_us))
+    )
+    return range_join(
+        purchases,
+        windows,
+        point_col="ts_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        on="user_id",
+        bin_width=float(half_hour_us),
+        how="left",
+    ).orderBy("event_id", "lo_us")
 
 
 @query(

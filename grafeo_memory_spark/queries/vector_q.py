@@ -29,20 +29,38 @@ def _query_row(emb: DataFrame) -> DataFrame:
 @query(
     "knn_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, round({_DUCK_COS}, 6) AS sim
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY sim DESC, e.vec_id ASC
-    LIMIT 10
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT 'topk' AS kind, e.vec_id, round({_DUCK_COS}, 6) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, e.vec_id ASC
+      LIMIT 10
+    ),
+    thresh AS (
+      SELECT 'thresh' AS kind, e.vec_id, round({_DUCK_COS}, 6) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+        AND round({_DUCK_COS}, 6) >= 0.3
+    )
+    SELECT * FROM topk
+    UNION ALL
+    SELECT * FROM thresh
+    ORDER BY kind, sim DESC, vec_id ASC
     """,
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V1 — exact cosine kNN, k=10 (reference `protocol.py:96-105`,
-    `search/vector.py:18-77`; exact instead of HNSW-approximate).
+    """V1 + F8/V5 in one driver row (the former standalone
+    `similarity_threshold` slot folded in r6, tagged 'thresh'):
+    exact cosine kNN, k=10 (reference `protocol.py:96-105`,
+    `search/vector.py:18-77`; exact instead of HNSW-approximate),
+    plus the reconciliation similarity gate — candidates with
+    cosine >= 0.3 (`search/vector.py:327-332`, default
+    `similarity_threshold` at `types.py:59`).
 
-    Physical plan: parquet scan → codegen'd project(sim) →
-    TakeOrderedAndProject. No shuffle; scales linearly with executors.
+    Physical plan: ONE parquet scan → codegen'd project(sim), then a
+    TakeOrderedAndProject for the topk branch and a plain filter for
+    the gate branch. No shuffle; scales linearly with executors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     scored = (
@@ -53,34 +71,17 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("embedding", "qv"), 6).alias("sim"),
         )
     )
-    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
-
-
-@query(
-    "similarity_threshold",
-    oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, round({_DUCK_COS}, 6) AS sim
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-      AND round({_DUCK_COS}, 6) >= 0.3
-    ORDER BY e.vec_id ASC
-    """,
-)
-def similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8/V4 — reconciliation similarity gate: keep candidates with
-    cosine >= 0.3 (reference `search/vector.py:327-332`, default
-    `similarity_threshold` at `types.py:59`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = (
-        emb.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(_query_row(emb)))
-        .select(
-            "vec_id",
-            F.round(cosine_similarity("embedding", "qv"), 6).alias("sim"),
-        )
+    topk = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(F.lit("topk").alias("kind"), "vec_id", "sim")
     )
-    return scored.where(F.col("sim") >= 0.3).orderBy(F.col("vec_id").asc())
+    thresh = scored.where(F.col("sim") >= 0.3).select(
+        F.lit("thresh").alias("kind"), "vec_id", "sim"
+    )
+    return topk.unionByName(thresh).orderBy(
+        "kind", F.col("sim").desc(), F.col("vec_id").asc()
+    )
 
 
 _DUCK_COS_EC = (

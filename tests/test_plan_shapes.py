@@ -71,8 +71,13 @@ class TestJoinStrategies:
         # signature equi-join compiles to a hash-based join
         assert "HashJoin" in plan or "SortMergeJoin" in plan
 
-    def test_exact_dedup_single_shuffle(self, spark, queries):
-        plan = _plan(queries["exact_dedup"](spark, SF))
+    def test_exact_dedup_single_shuffle(self, spark):
+        from grafeo_memory_spark.pipeline.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(
+            exact_dedup(docs, "text", "doc_id").select("doc_id")
+        )
         # one aggregation key → at most one exchange pair (partial+final
         # HashAggregate around a single hashpartitioning exchange), plus
         # AQE wrappers; never a join-driven second shuffle

@@ -49,7 +49,7 @@ def test_knn_returns_k_sorted(spark):
     assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
 
 
-@pytest.mark.parametrize("name", ["knn_topk", "similarity_threshold"])
+@pytest.mark.parametrize("name", ["knn_topk"])
 def test_oracle_parity(spark, duck, name):
     from grafeo_memory_spark.queries import ORACLES
 
