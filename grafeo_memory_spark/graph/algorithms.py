@@ -351,7 +351,10 @@ def _louvain_local(
 
 
 def louvain(
-    edges: DataFrame, max_iter: int = 20, driver_max_nodes: int = 200_000
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_max_nodes: int = 200_000,
+    min_distributed_rounds: int = 0,
 ) -> DataFrame:
     """G3 — modularity-greedy community detection (reference Louvain,
     `protocol.py:43`, consumed by `communities.py:32-200`); returns
@@ -373,11 +376,21 @@ def louvain(
     Phase 2 (always): collect the quotient graph — ≤ `driver_max_nodes`
     nodes, a few MB — and run exact sequential multi-level Louvain on
     the driver (`_louvain_local`), then broadcast the ≤200k-row
-    community map back. At bench scale this means ZERO distributed
-    rounds and one collect: iterative Spark jobs cost seconds of
-    scheduling overhead each, while 10⁵ nodes of Python Louvain cost
-    milliseconds. At 100 TB the edge list never leaves the cluster —
-    only the geometrically-coarsened quotient does.
+    community map back. At 100 TB the edge list never leaves the
+    cluster — only the geometrically-coarsened quotient does.
+
+    ``min_distributed_rounds`` forces that many phase-1 coarsening
+    rounds even when the graph already fits the collect threshold, so
+    the driver sees the SECOND-level quotient: the first level of
+    Q-increasing merges happens on the cluster and the collected graph
+    is the already-coarsened one — the knob for deployments where even
+    the raw quotient is too wide to collect comfortably. Quality is
+    preserved (every forced merge strictly increases Q; on the fixture
+    graph one round lands within ±0.01 modularity of the default,
+    pinned in tests/test_communities.py), but the exact label
+    assignment can differ, so the default stays 0: bit-identical to
+    the committed `louvain_labels` fixture and no extra scheduling
+    rounds at bench scale.
 
     Modularity is monotone non-decreasing in `max_iter` across both
     phases (each distributed round and each driver sweep consumes one
@@ -402,8 +415,12 @@ def louvain(
         F.count("*").alias("deg")
     )
     coarsened = False
-    while n_comm > driver_max_nodes and budget > 0:
+    rounds_done = 0
+    while budget > 0 and (
+        n_comm > driver_max_nodes or rounds_done < min_distributed_rounds
+    ):
         budget -= 1
+        rounds_done += 1
         lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
             "community", "ca"
         )

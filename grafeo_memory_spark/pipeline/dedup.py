@@ -38,6 +38,7 @@ __all__ = [
     "near_dup_pairs_minhash",
     "simhash16",
     "simhash64",
+    "simhash_near_dup",
     "jaccard_similarity_join",
     "dedup_clusters",
     "near_dedup",
@@ -282,6 +283,84 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n: int = 1,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs — the banded Hamming-distance join
+    that consumes :func:`simhash64` fingerprints (the Manku-Jain-Sarma
+    WWW'07 web-dedup construction, re-expressed as DataFrame ops): cut
+    the 64 bits into ``max_hamming + 1`` bands; by pigeonhole, any two
+    fingerprints within Hamming distance ``max_hamming`` agree exactly
+    on at least one band, so candidates come from a band-value
+    equi-join and are verified with one ``bit_count(xor)``. Output:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, hamming ≤
+    ``max_hamming``.
+
+    Scale shape — mirrors ``near_dup_pairs_minhash``: one fingerprint
+    scan, a ×bands explode, ONE shuffle on (band, band value), and the
+    ``max_bucket_size`` guard drops boilerplate buckets before the
+    self-join (a 10⁶-doc bucket would emit 10¹² pairs) — never
+    all-pairs. The fingerprints ride the band rows, so verification is
+    a codegen xor, not a join back to the corpus.
+    """
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    bands = max_hamming + 1
+    width, extra = divmod(64, bands)
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, n).alias("fp")
+    )
+    # band b covers `width` bits (+1 for the first `extra` bands);
+    # shiftrightunsigned keeps the sign bit from smearing into the top
+    # band's value
+    band_cols = []
+    offset = 0
+    for b in range(bands):
+        w = width + (1 if b < extra else 0)
+        # mask as a SIGNED 64-bit literal (w=64 → -1): a plain
+        # (1<<64)-1 overflows the JVM long on the way into F.lit
+        mask = (1 << w) - 1
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        val = F.shiftrightunsigned(F.col("fp"), offset).bitwiseAND(
+            F.lit(mask)
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), val.alias("val")))
+        offset += w
+    banded = fp.select(
+        "id", "fp", F.explode(F.array(*band_cols)).alias("bv")
+    ).select("id", "fp", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    sizes = banded.groupBy("band", "val").agg(F.count("*").alias("_bs"))
+    bounded = banded.join(
+        sizes.where(F.col("_bs") <= max_bucket_size), ["band", "val"]
+    )
+    a = bounded.select(
+        "band", "val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
+    )
+    b = bounded.select(
+        "band", "val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
