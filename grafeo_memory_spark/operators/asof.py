@@ -107,12 +107,14 @@ def asof_join(
     )
     # join-equality semantics: NULL keys never match (partitionBy groups
     # NULL with NULL, so without this a NULL-key left row would pick up
-    # a NULL-key right row — DuckDB ASOF ON equality never does)
-    null_key = None
-    for k in keys:
-        cond = F.col(k).isNull()
-        null_key = cond if null_key is None else (null_key | cond)
-    joined = joined.withColumn("_m", F.when(~null_key, F.col("_m")))
+    # a NULL-key right row — DuckDB ASOF ON equality never does). A
+    # keyless (global) as-of join has no equality to enforce, so the
+    # guard is skipped entirely (ADVICE r6: `~None` raised).
+    if keys:
+        null_key = F.col(keys[0]).isNull()
+        for k in keys[1:]:
+            null_key = null_key | F.col(k).isNull()
+        joined = joined.withColumn("_m", F.when(~null_key, F.col("_m")))
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         joined = joined.withColumn(

@@ -114,6 +114,21 @@ class ShardedBloomFilter:
     shards: list[BloomFilter]
     salt: int
 
+    def __post_init__(self) -> None:
+        # probes read (m_bits, k, salt) off shards[0]; heterogeneous
+        # shards would silently misprobe (false negatives), so reject
+        # them at construction (ADVICE r6)
+        if not self.shards:
+            raise ValueError("ShardedBloomFilter needs at least one shard")
+        first = self.shards[0]
+        for s in self.shards[1:]:
+            if (s.m_bits, s.k, s.salt) != (first.m_bits, first.k, first.salt):
+                raise ValueError(
+                    "ShardedBloomFilter shards must share (m_bits, k, "
+                    f"salt); shard 0 has {(first.m_bits, first.k, first.salt)}"
+                    f" but another shard has {(s.m_bits, s.k, s.salt)}"
+                )
+
     def contains(self, value: str) -> bool:
         seed = _shard_seed(self.salt)
         h = int(

@@ -23,10 +23,8 @@ from grafeo_memory_spark.graph.algorithms import (
     pagerank,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_fixture
+from grafeo_memory_spark.sources.tables import ORACLE_FIXTURES as FIX, load_fixture
 
-#: correctness gate runs at sf0.01 — oracle SQL reads fixtures there
-FIX = "/root/repo/fixtures/sf0.01"
 _EDG = f"read_parquet('{FIX}/edges.parquet')"
 _ENT = f"read_parquet('{FIX}/entities.parquet')"
 

@@ -29,10 +29,8 @@ from grafeo_memory_spark.operators.traversals import (
     two_hop_memories,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_fixture, spread
+from grafeo_memory_spark.sources.tables import ORACLE_FIXTURES as FIX, load_fixture, spread
 
-#: correctness gate runs at sf0.01 — oracle SQL reads fixtures there
-FIX = "/root/repo/fixtures/sf0.01"
 
 _MEM = f"read_parquet('{FIX}/memories.parquet')"
 _ENT = f"read_parquet('{FIX}/entities.parquet')"

