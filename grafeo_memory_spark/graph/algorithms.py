@@ -562,23 +562,29 @@ def betweenness_centrality(
     visited = frontier.localCheckpoint()
     levels = [visited]
     for depth in range(1, max_depth + 1):
+        # aggregate BEFORE the visited anti-join: the groupBy hash-
+        # partitions the expanded set on (s, v), and the left join that
+        # follows is on the same key, so only the (smaller) visited
+        # side shuffles — and the anti-join probes one row per
+        # candidate node instead of one per in-edge (r7 perf pass)
         nxt = (
             frontier.join(und.withColumnRenamed("src", "v"), "v")
             .select("s", F.col("dst").alias("v"), F.col("sigma"))
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
             .join(
-                visited.select("s", F.col("v").alias("v2")).withColumnRenamed(
-                    "v2", "v"
-                ).withColumn("_seen", F.lit(1)),
+                visited.select("s", "v").withColumn("_seen", F.lit(1)),
                 ["s", "v"],
                 "left",
             )
             .where(F.col("_seen").isNull())
-            .groupBy("s", "v")
-            .agg(F.sum("sigma").alias("sigma"))
             .withColumn("depth", F.lit(depth))
             .select("s", "v", "depth", "sigma")
         )
-        nxt = nxt.localCheckpoint()
+        # lazy checkpoint: isEmpty() materializes every partition into
+        # the block store in ONE job (eager=True would spend a separate
+        # job per level just to checkpoint before the emptiness probe)
+        nxt = nxt.localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
         levels.append(nxt)
@@ -631,7 +637,9 @@ def betweenness_centrality(
                 "v",
                 F.coalesce(F.col("add"), F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint()
+            # lazy: materializes inside the next level's contrib job
+            # (or the final union) instead of one eager job per level
+            .localCheckpoint(eager=False)
         )
 
     all_delta = deltas[0]

@@ -69,6 +69,24 @@ from grafeo_memory_spark.store import (
 )
 
 
+def _call_with_optional_prompt(fn, *args, prompt):
+    """Invoke a policy callable, passing ``prompt=`` only when its
+    signature can take it — the P5 default prompts (`prompts.py`) must
+    not break a prompt-unaware extractor/reconciler (positional-only
+    `extract(text)` implementations keep working; a policy with
+    ``**kwargs`` or a ``prompt`` parameter receives the template)."""
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+        accepts = "prompt" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):  # builtins / C callables: just try
+        accepts = True
+    return fn(*args, prompt=prompt) if accepts else fn(*args)
+
+
 def _locked(fn):
     """Serialize a mutating facade method on the engine's write lock
     (T7/T8; reference `manager.py:283-284`). Reentrant so locked
@@ -330,11 +348,21 @@ class MemoryEngine:
             graph_name=graph_name, actor_id=actor_id,
             role="user" if actor_id else None,
         )
-        # P5 prompt selection by memory type (reference manager.py:251-253)
-        prompt = (
+        # P5 prompt selection by memory type (reference manager.py:251-253);
+        # unset knobs fall back to the paraphrased default templates
+        # (`prompts.py`, VERDICT r6 item 7) so a real LLM extractor gets
+        # a working system prompt out of the box.
+        from grafeo_memory_spark import prompts as _prompts
+
+        custom = (
             self.custom_procedural_prompt
             if memory_type == "procedural"
             else self.custom_fact_prompt
+        )
+        prompt = (
+            custom
+            if custom is not None
+            else _prompts.default_extraction_prompt(memory_type)
         )
         with self._span("extract", infer=infer) as sp:
             if not infer:
@@ -344,10 +372,9 @@ class MemoryEngine:
                 # empty extraction (the add becomes a no-op) rather than
                 # raising (reference `extraction/facts.py:47-51`)
                 try:
-                    if prompt is not None:
-                        ext = self.extractor.extract(text, prompt=prompt)
-                    else:
-                        ext = self.extractor.extract(text)
+                    ext = _call_with_optional_prompt(
+                        self.extractor.extract, text, prompt=prompt
+                    )
                     self._fire_usage("extract", RunUsage(calls=1))
                 except Exception:
                     ext = {"facts": [], "entities": [], "relations": []}
@@ -386,13 +413,16 @@ class MemoryEngine:
         if infer:
             with self._span("reconcile", candidates=len(candidates)):
                 try:
-                    if self.custom_update_prompt is not None:
-                        rec = self.reconciler.reconcile(
-                            facts, candidates,
-                            prompt=self.custom_update_prompt,
-                        )
-                    else:
-                        rec = self.reconciler.reconcile(facts, candidates)
+                    rec = _call_with_optional_prompt(
+                        self.reconciler.reconcile,
+                        facts,
+                        candidates,
+                        prompt=(
+                            self.custom_update_prompt
+                            if self.custom_update_prompt is not None
+                            else _prompts.RECONCILIATION_SYSTEM
+                        ),
+                    )
                     self._fire_usage("reconcile", RunUsage(calls=1))
                 except Exception:
                     # policy failure falls back to ADD-everything rather

@@ -47,6 +47,7 @@ from grafeo_memory_spark.pipeline.dedup import (
     dedup_spans_global,
     exact_dedup,
     near_dedup,
+    near_dedup_simhash,
 )
 from grafeo_memory_spark.pipeline.sampling import mixture_sample
 
@@ -64,8 +65,10 @@ class CorpusRecipe:
     min_words: int = 50
     exact: bool = True                 # content-hash dedup
     lm_max_ppl: float | None = None    # CCNet perplexity cut (needs lm_model)
-    fuzzy: bool = True                 # MinHash/LSH + components
+    fuzzy: bool = True                 # near-dup tier + components
+    fuzzy_method: str = "minhash"      # 'minhash' (Jaccard) | 'simhash'
     jaccard_threshold: float = 0.5
+    simhash_max_hamming: int = 3       # simhash path's distance cut
     spans: bool = False                # C4 global span dedup (line corpora)
     span: int = 3
     span_sep: str = "\n"
@@ -161,13 +164,27 @@ def build_training_corpus(
             ),
         )
     if r.fuzzy:
-        cur = step(
-            "fuzzy_dedup",
-            near_dedup(
-                cur, text_col, id_col,
-                jaccard_threshold=r.jaccard_threshold,
-            ),
-        )
+        if r.fuzzy_method == "simhash":
+            cur = step(
+                "fuzzy_dedup_simhash",
+                near_dedup_simhash(
+                    cur, text_col, id_col,
+                    max_hamming=r.simhash_max_hamming,
+                ),
+            )
+        elif r.fuzzy_method == "minhash":
+            cur = step(
+                "fuzzy_dedup",
+                near_dedup(
+                    cur, text_col, id_col,
+                    jaccard_threshold=r.jaccard_threshold,
+                ),
+            )
+        else:
+            raise ValueError(
+                "CorpusRecipe.fuzzy_method must be 'minhash' or "
+                f"'simhash', got {r.fuzzy_method!r}"
+            )
     if r.spans:
         cur = step(
             "span_dedup",

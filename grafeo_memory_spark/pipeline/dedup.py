@@ -42,6 +42,7 @@ __all__ = [
     "jaccard_similarity_join",
     "dedup_clusters",
     "near_dedup",
+    "near_dedup_simhash",
     "dedup_spans_global",
 ]
 
@@ -479,6 +480,35 @@ def near_dedup(
         num_perm=num_perm, bands=bands, n=n,
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select("id")
+    return df.join(
+        losers.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
+def near_dedup_simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n: int = 1,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Batch fuzzy dedup on the SimHash axis — the alternative near-dup
+    tier to :func:`near_dedup` (MinHash/Jaccard measures shingle-set
+    overlap; SimHash Hamming distance measures weighted-token profile
+    drift, cheaper per doc: one 64-bit fingerprint vs a num_perm
+    signature). Pairs from :func:`simhash_near_dup` (pigeonhole band
+    equi-join, never all-pairs) → connected components → keep the
+    smallest-id doc per cluster; same survivorship contract and the
+    same broadcast-size anti-join keep as the MinHash path.
+    """
+    pairs = simhash_near_dup(
+        df, text_col, id_col,
+        max_hamming=max_hamming, n=n, max_bucket_size=max_bucket_size,
     )
     clusters = dedup_clusters(pairs)
     losers = clusters.where(F.col("id") != F.col("cluster")).select("id")

@@ -70,6 +70,31 @@ class TestBuildTrainingCorpus:
         assert report.stages == ["exact_dedup"]
         assert out.count() == corpus.count() - 1  # only the exact dup
 
+    def test_simhash_fuzzy_stage(self, spark, corpus):
+        # fuzzy_method='simhash' swaps the near-dup tier for the banded
+        # Hamming join (VERDICT r6 item 8). All body-sharing docs
+        # (0..20, 100, 101) have near-identical unigram profiles, so
+        # SimHash folds them into ONE cluster — the smallest id wins;
+        # the maritime doc 103 and the short doc 102 are untouched. The
+        # report must show the simhash stage ran instead of MinHash.
+        out, report = build_training_corpus(
+            corpus,
+            recipe=CorpusRecipe(
+                clean=False, quality=False, exact=False,
+                decontaminate=False,
+                fuzzy_method="simhash", simhash_max_hamming=6,
+            ),
+        )
+        assert report.stages == ["fuzzy_dedup_simhash"]
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == {0, 102, 103}
+
+    def test_bad_fuzzy_method_raises(self, spark, corpus):
+        with pytest.raises(ValueError, match="fuzzy_method"):
+            build_training_corpus(
+                corpus, recipe=CorpusRecipe(fuzzy_method="bogus")
+            )
+
     def test_deterministic_across_reruns(self, spark, corpus):
         recipe = CorpusRecipe(min_words=10,
                               mixture={"web": 0.8, "books": 0.2})

@@ -160,6 +160,73 @@ def test_custom_prompts_reach_policies(spark):
     assert ext.last_prompt == "STEPS!"
 
 
+def test_default_prompts_thread_through(spark):
+    # P5 defaults (VERDICT r6 item 7): with no custom_*_prompt set, the
+    # paraphrased templates in `prompts.py` ride the extract/reconcile
+    # calls — fact template for semantic adds, procedural template for
+    # memory_type='procedural', reconciliation template for every
+    # reconcile.
+    from grafeo_memory_spark import prompts
+    from grafeo_memory_spark.protocols import ScriptedReconciler
+
+    ext = ScriptedExtractor(
+        outputs=[
+            {"facts": ["f1"], "entities": [], "relations": []},
+            {"facts": ["f2"], "entities": [], "relations": []},
+        ]
+    )
+    rec = ScriptedReconciler()
+    eng = MemoryEngine(spark, extractor=ext, reconciler=rec, now_fn=tick)
+    eng.add("semantic thing", user_id="u")
+    assert ext.last_prompt == prompts.FACT_EXTRACTION_SYSTEM
+    assert rec.last_prompt == prompts.RECONCILIATION_SYSTEM
+    eng.add("procedural thing", user_id="u", memory_type="procedural")
+    assert ext.last_prompt == prompts.PROCEDURAL_EXTRACTION_SYSTEM
+
+
+def test_default_prompt_selection_table():
+    from grafeo_memory_spark import prompts
+
+    assert (
+        prompts.default_extraction_prompt("semantic")
+        is prompts.FACT_EXTRACTION_SYSTEM
+    )
+    assert (
+        prompts.default_extraction_prompt("procedural")
+        is prompts.PROCEDURAL_EXTRACTION_SYSTEM
+    )
+    assert (
+        prompts.default_extraction_prompt("episodic")
+        is prompts.EPISODIC_EXTRACTION_SYSTEM
+    )
+    # F6: NULL memory_type ≡ semantic, unknown types fall back to facts
+    assert (
+        prompts.default_extraction_prompt(None)
+        is prompts.FACT_EXTRACTION_SYSTEM
+    )
+    assert (
+        prompts.default_extraction_prompt("mystery")
+        is prompts.FACT_EXTRACTION_SYSTEM
+    )
+    # every reference template key has a paraphrased twin with the same
+    # format fields, so reference-targeted custom prompts drop in
+    for tmpl, fields in [
+        (prompts.FACT_EXTRACTION_USER, ["user_id", "text"]),
+        (prompts.COMBINED_EXTRACTION_USER, ["user_id", "text"]),
+        (prompts.ENTITY_EXTRACTION_USER, ["user_id", "facts"]),
+        (prompts.RECONCILIATION_USER, ["new_facts", "existing_memories"]),
+        (
+            prompts.RELATION_RECONCILE_USER,
+            ["existing_relations", "new_relations"],
+        ),
+        (prompts.SUMMARIZE_USER, ["count", "memories"]),
+        (prompts.TEMPORAL_ANNOTATION_USER, ["today", "text", "facts"]),
+        (prompts.COMMUNITY_SUMMARY_USER, ["entities", "relations"]),
+    ]:
+        for f in fields:
+            assert "{" + f + "}" in tmpl, (tmpl[:40], f)
+
+
 def test_no_prompts_keeps_bare_signature(spark):
     # prompt-unaware policies (positional-only extract/reconcile) must
     # keep working when no custom prompt is configured
