@@ -386,7 +386,9 @@ def connected_components(
                 ).alias("component"),
                 "_c_old",
             )
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint probe materializes the checkpoint
+            # (r7 — one driver job per round instead of two)
+            .localCheckpoint(eager=False)
         )
         done = new_labels.where(
             F.col("component") != F.col("_c_old")

@@ -4,9 +4,10 @@ reference delegates to its engine at `protocol.py:39-43`, consumed by
 
 Spark has no Python GraphX API, so these implement the
 aggregateMessages pattern directly on DataFrames — the same formulation
-GraphFrames uses. Each iteration is one join + one aggregation; an eager
-`localCheckpoint()` every round truncates the lineage so plans
-don't grow unboundedly (SURVEY §4 physical note). All loops are
+GraphFrames uses. Each iteration is one join + one aggregation; a
+`localCheckpoint()` every round (lazy — the round's convergence probe
+materializes it) truncates the lineage so plans don't grow unboundedly
+(SURVEY §4 physical note). All loops are
 driver-controlled with convergence checks — iterative fixpoints are
 inherently outside Catalyst.
 
@@ -130,6 +131,10 @@ def pagerank(
                 ).alias("pagerank"),
                 "_pr_old",
             )
+            # eager: measured FASTER than a lazy checkpoint here
+            # (sf0.1 A/B, r7: 4.3s vs 5.2s median) — the tiny stats
+            # collect that follows reads warm blocks instead of
+            # folding materialization into its own two-stage agg
             .localCheckpoint()
         )
         delta, dangling = (
@@ -179,13 +184,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .where(F.col("_rn") == 1)
             .select("node_id", "community")
         )
-        # isolated nodes keep their own label. Eager checkpoint every
-        # round: new_labels feeds both the changed-count job and the
-        # next iteration, and truncated lineage keeps per-iteration cost
+        # isolated nodes keep their own label. Checkpoint every round:
+        # new_labels feeds both the changed-count job and the next
+        # iteration, and truncated lineage keeps per-iteration cost
         # constant instead of re-executing prior rounds inside each
-        # action.
-        # carry the old label through the update so the changed-count
-        # job is a plain filter+count — no old-vs-new join per round
+        # action. Carry the old label through the update so the
+        # changed-count job is a plain filter+count — no old-vs-new
+        # join per round.
         new_labels = (
             labels.select("node_id", F.col("community").alias("_c_old"))
             .join(new_labels, "node_id", "left")
@@ -194,6 +199,8 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
                 "_c_old",
             )
+            # eager: measured faster than lazy here (same A/B as the
+            # pagerank loop — the changed-count job stays a cached read)
             .localCheckpoint()
         )
         changed = (
@@ -475,7 +482,8 @@ def louvain(
             .select(
                 F.col("x.ca").alias("keep"), F.col("x.cb").alias("merge")
             )
-            .localCheckpoint()
+            # lazy: isEmpty() materializes it (r7 job-count trim)
+            .localCheckpoint(eager=False)
         )
         if merges.isEmpty():
             break

@@ -38,6 +38,7 @@ __all__ = [
     "near_dup_pairs_minhash",
     "simhash16",
     "simhash64",
+    "simhash_bands",
     "simhash_near_dup",
     "jaccard_similarity_join",
     "dedup_clusters",
@@ -287,6 +288,42 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
     )
 
 
+def simhash_bands(fp_df: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole banding of 64-bit SimHash fingerprints: cut the 64
+    bits into ``max_hamming + 1`` bands, one output row per (id, band)
+    with the band's bit-slice as ``val`` — any two fingerprints within
+    Hamming distance ``max_hamming`` agree exactly on at least one
+    band. Input ``(id, fp)``; output ``(id, fp, band, val)``. Shared by
+    the batch Hamming join (:func:`simhash_near_dup`) and the streaming
+    SimHash dedup tier (`streaming/dedup.SimHashDedupSink`)."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    bands = max_hamming + 1
+    width, extra = divmod(64, bands)
+    # band b covers `width` bits (+1 for the first `extra` bands);
+    # shiftrightunsigned keeps the sign bit from smearing into the top
+    # band's value
+    band_cols = []
+    offset = 0
+    for b in range(bands):
+        w = width + (1 if b < extra else 0)
+        # mask as a SIGNED 64-bit literal (w=64 → -1): a plain
+        # (1<<64)-1 overflows the JVM long on the way into F.lit
+        mask = (1 << w) - 1
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        val = F.shiftrightunsigned(F.col("fp"), offset).bitwiseAND(
+            F.lit(mask)
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), val.alias("val")))
+        offset += w
+    return fp_df.select(
+        "id", "fp", F.explode(F.array(*band_cols)).alias("bv")
+    ).select(
+        "id", "fp", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str,
@@ -306,40 +343,25 @@ def simhash_near_dup(
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``, hamming ≤
     ``max_hamming``.
 
-    Scale shape — mirrors ``near_dup_pairs_minhash``: one fingerprint
-    scan, a ×bands explode, ONE shuffle on (band, band value), and the
-    ``max_bucket_size`` guard drops boilerplate buckets before the
-    self-join (a 10⁶-doc bucket would emit 10¹² pairs) — never
-    all-pairs. The fingerprints ride the band rows, so verification is
-    a codegen xor, not a join back to the corpus.
+    Scale shape — mirrors ``near_dup_pairs_minhash``: ONE fingerprint
+    scan (the (id, fp) table — two longs per doc — is checkpointed
+    because it feeds the bucket-size guard and BOTH self-join sides;
+    without it the 64-bit-vote expression re-executes three times,
+    measured 3× the row's wall-clock at sf0.1), a ×bands explode, one
+    shuffle on (band, band value), and the ``max_bucket_size`` guard
+    drops boilerplate buckets before the self-join (a 10⁶-doc bucket
+    would emit 10¹² pairs) — never all-pairs. The fingerprints ride
+    the band rows, so verification is a codegen xor, not a join back
+    to the corpus. In a production pipeline the fingerprint table is
+    the thing you persist anyway (same pattern as semdedup's
+    assignment table).
     """
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64)")
-    bands = max_hamming + 1
-    width, extra = divmod(64, bands)
     fp = df.select(
         F.col(id_col).alias("id"), simhash64(text_col, n).alias("fp")
-    )
-    # band b covers `width` bits (+1 for the first `extra` bands);
-    # shiftrightunsigned keeps the sign bit from smearing into the top
-    # band's value
-    band_cols = []
-    offset = 0
-    for b in range(bands):
-        w = width + (1 if b < extra else 0)
-        # mask as a SIGNED 64-bit literal (w=64 → -1): a plain
-        # (1<<64)-1 overflows the JVM long on the way into F.lit
-        mask = (1 << w) - 1
-        if mask >= 1 << 63:
-            mask -= 1 << 64
-        val = F.shiftrightunsigned(F.col("fp"), offset).bitwiseAND(
-            F.lit(mask)
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), val.alias("val")))
-        offset += w
-    banded = fp.select(
-        "id", "fp", F.explode(F.array(*band_cols)).alias("bv")
-    ).select("id", "fp", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).localCheckpoint(eager=False)
+    banded = simhash_bands(fp, max_hamming)
     sizes = banded.groupBy("band", "val").agg(F.count("*").alias("_bs"))
     bounded = banded.join(
         sizes.where(F.col("_bs") <= max_bucket_size), ["band", "val"]

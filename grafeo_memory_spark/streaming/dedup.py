@@ -170,6 +170,41 @@ class IncrementalDedupSink:
                 os.path.join(self.state_path, d), ignore_errors=True
             )
 
+    # ------------------------------------------------- band strategy
+    # (overridden by SimHashDedupSink; the state/compaction machinery
+    # and the per-batch survivor protocol are method-agnostic)
+
+    def _bands(self, batch: DataFrame) -> DataFrame:
+        """(id, band, band_hash) blocking rows for one batch."""
+        sig = minhash_signature(
+            batch, "text", "doc_id", num_perm=self.num_perm, n=self.shingle_n
+        )
+        return lsh_bands(sig, self.bands, self.rows)
+
+    def _within_batch_dominated(self, new_bands: DataFrame) -> DataFrame:
+        """ids dominated by a smaller-id same-bucket sibling."""
+        return (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") > F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+
+    def _vs_corpus(
+        self, new_bands: DataFrame, prior: DataFrame
+    ) -> DataFrame:
+        """ids colliding with the stored corpus band table."""
+        return (
+            new_bands.join(prior, ["band", "band_hash"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prior = self._read_bands(spark, before=batch_id)
@@ -187,32 +222,15 @@ class IncrementalDedupSink:
             .drop("_ckey", "_rn")
         )
 
-        sig = minhash_signature(
-            batch, "text", "doc_id", num_perm=self.num_perm, n=self.shingle_n
-        )
-        new_bands = lsh_bands(sig, self.bands, self.rows)
+        new_bands = self._bands(batch)
 
         # drop: collides with the stored corpus, or with a smaller-id
         # sibling in the same batch bucket (greedy keep-first)
-        dominated = (
-            new_bands.alias("a")
-            .join(
-                new_bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.id") > F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id"))
-            .distinct()
-        )
-        dropped = dominated
+        dropped = self._within_batch_dominated(new_bands)
         if prior is not None:
-            vs_corpus = (
-                new_bands.join(
-                    prior, ["band", "band_hash"], "left_semi"
-                ).select("id").distinct()
-            )
-            dropped = dropped.unionByName(vs_corpus).distinct()
+            dropped = dropped.unionByName(
+                self._vs_corpus(new_bands, prior)
+            ).distinct()
 
         survivors = batch.join(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
@@ -241,13 +259,88 @@ class IncrementalDedupSink:
         return self._read_bands(spark)
 
 
+@dataclass
+class SimHashDedupSink(IncrementalDedupSink):
+    """The SimHash twin of :class:`IncrementalDedupSink` (r7): same
+    append-only ``batch_id=`` band-state protocol, compaction, and
+    strictly-below replay reads, but blocking comes from the 64-bit
+    SimHash pigeonhole bands (`pipeline/dedup.simhash_bands`) and —
+    unlike the greedy MinHash tier, where a band collision is already
+    r-minhash agreement — every collision is VERIFIED with
+    ``bit_count(fp_a xor fp_b) <= max_hamming`` before a doc is
+    dropped, exactly the batch operator's semantics
+    (`pipeline/dedup.simhash_near_dup`). The fingerprint rides the
+    state rows (one extra long per band row), so verification against
+    the stored corpus needs no side lookup."""
+
+    max_hamming: int = 3
+    ngram: int = 1
+
+    def _bands(self, batch: DataFrame) -> DataFrame:
+        from grafeo_memory_spark.pipeline.dedup import (
+            simhash64,
+            simhash_bands,
+        )
+
+        fp = batch.select(
+            F.col("doc_id").alias("id"), simhash64("text", self.ngram).alias("fp")
+        )
+        return simhash_bands(fp, self.max_hamming).withColumnRenamed(
+            "val", "band_hash"
+        )
+
+    def _within_batch_dominated(self, new_bands: DataFrame) -> DataFrame:
+        return (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") > F.col("b.id"))
+                & (
+                    F.bit_count(
+                        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+                    )
+                    <= self.max_hamming
+                ),
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+
+    def _vs_corpus(
+        self, new_bands: DataFrame, prior: DataFrame
+    ) -> DataFrame:
+        return (
+            new_bands.alias("a")
+            .join(
+                prior.select(
+                    "band", "band_hash", F.col("fp").alias("_fp_prior")
+                ),
+                ["band", "band_hash"],
+            )
+            .where(
+                F.bit_count(F.col("fp").bitwiseXOR(F.col("_fp_prior")))
+                <= self.max_hamming
+            )
+            .select("id")
+            .distinct()
+        )
+
+
 def run_incremental_dedup_stream(
-    spark: SparkSession, path: str, checkpoint: str, **sink_kw
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    sink_cls: type = IncrementalDedupSink,
+    **sink_kw,
 ) -> IncrementalDedupSink:
     """Wire the near-dup stream end-to-end with an availableNow trigger
     (process everything present, then stop) — test/backfill mode; a
-    live deployment drops the trigger."""
-    sink = IncrementalDedupSink(
+    live deployment drops the trigger. ``sink_cls`` picks the blocking
+    method: :class:`IncrementalDedupSink` (MinHash/LSH, default) or
+    :class:`SimHashDedupSink` (banded Hamming, verified drops)."""
+    sink = sink_cls(
         survivors_path=os.path.join(checkpoint, "_survivors"),
         state_path=os.path.join(checkpoint, "_state"),
         **sink_kw,

@@ -199,3 +199,77 @@ class TestIncrementalNearDup:
         sink(_docs(spark, [(400, T0 + 9, texts[0])]), 9)
         ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
         assert ids == [300 + i for i in range(4)]
+
+
+class TestSimHashSink:
+    """SimHash twin of the incremental sink (r7): same band-state
+    protocol, blocking from the 64-bit fingerprint's pigeonhole bands,
+    drops verified with bit_count(xor) <= max_hamming."""
+
+    def _sink(self, tmp_path, **kw):
+        from grafeo_memory_spark.streaming.dedup import SimHashDedupSink
+
+        return SimHashDedupSink(
+            survivors_path=str(tmp_path / "surv"),
+            state_path=str(tmp_path / "state"),
+            **kw,
+        )
+
+    def test_cross_batch_suppression_and_verify(self, spark, tmp_path):
+        sink = self._sink(tmp_path, max_hamming=6)
+        sink(_docs(spark, [(1, T0, ALPHA), (2, T0 + 1, BETA)]), 0)
+        assert sorted(
+            r["doc_id"] for r in sink.survivors(spark).collect()
+        ) == [1, 2]
+        # near-copy of ALPHA: one-word unigram drift stays within the
+        # Hamming budget; GAMMA's profile is far outside it
+        near_alpha = ALPHA.replace("lazy", "sleepy")
+        sink(_docs(spark, [(10, T0 + 9000, near_alpha),
+                           (11, T0 + 9001, GAMMA)]), 1)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [1, 2, 11]
+
+    def test_band_collision_alone_does_not_drop(self, spark, tmp_path):
+        """Unlike the greedy MinHash tier, a shared band value with a
+        LARGE overall Hamming distance must NOT suppress the doc — the
+        verify gate is what separates candidates from duplicates."""
+        from pyspark.sql import functions as F
+
+        from grafeo_memory_spark.pipeline.dedup import simhash64
+
+        sink = self._sink(tmp_path, max_hamming=0)
+        # max_hamming=0 → only bit-identical fingerprints may drop;
+        # ALPHA vs its variant share no full 64-bit equality
+        near_alpha = ALPHA.replace("lazy", "sleepy")
+        fps = (
+            _docs(spark, [(1, T0, ALPHA), (2, T0 + 1, near_alpha)])
+            .select(simhash64("text", 1).alias("fp"))
+            .collect()
+        )
+        assert fps[0]["fp"] != fps[1]["fp"]  # precondition
+        sink(_docs(spark, [(1, T0, ALPHA)]), 0)
+        sink(_docs(spark, [(2, T0 + 1, near_alpha)]), 1)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [1, 2]
+
+    def test_within_batch_keep_first_and_replay(self, spark, tmp_path):
+        sink = self._sink(tmp_path, max_hamming=6)
+        b0 = _docs(spark, [
+            (7, T0 + 1, ALPHA),
+            (5, T0, ALPHA),                          # exact dup, smaller id
+            (9, T0 + 2, ALPHA.replace("lazy", "sleepy")),
+            (3, T0 + 3, BETA),
+        ])
+        sink(b0, 0)
+        ids = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert ids == [3, 5]
+        sink(b0, 0)  # replay against post-batch state
+        again = sorted(r["doc_id"] for r in sink.survivors(spark).collect())
+        assert again == [3, 5]
+
+    def test_state_carries_fingerprint(self, spark, tmp_path):
+        sink = self._sink(tmp_path, max_hamming=3)
+        sink(_docs(spark, [(1, T0, ALPHA)]), 0)
+        bands = sink.corpus_bands(spark)
+        assert {"id", "fp", "band", "band_hash"} <= set(bands.columns)
+        assert bands.count() == 4  # max_hamming+1 bands per survivor
