@@ -5,9 +5,12 @@ reference delegates to its engine at `protocol.py:39-43`, consumed by
 Spark has no Python GraphX API, so these implement the
 aggregateMessages pattern directly on DataFrames — the same formulation
 GraphFrames uses. Each iteration is one join + one aggregation; a
-`localCheckpoint()` every round (lazy — the round's convergence probe
-materializes it) truncates the lineage so plans don't grow unboundedly
-(SURVEY §4 physical note). All loops are
+`localCheckpoint()` every round truncates the lineage so plans don't
+grow unboundedly (SURVEY §4 physical note). Eager vs lazy checkpoints
+are chosen per loop by sf0.1 A/B measurement (r7): pagerank/LPA run
+eager (their per-round stats collect then reads warm blocks — lazy
+measured ~15% slower), the Brandes BFS runs lazy (its emptiness probe
+materializes the level in the same scheduling round). All loops are
 driver-controlled with convergence checks — iterative fixpoints are
 inherently outside Catalyst.
 
@@ -102,6 +105,7 @@ def pagerank(
     )
     dangling = n_dangling / float(n)  # uniform init: each rank is 1/n
     base = (1.0 - damping) / n
+
     for _ in range(max_iter):
         contrib = (
             links.join(
