@@ -81,7 +81,14 @@ def asof_join(
         F.col(rts).cast(right.schema[rts].dataType).alias("_rts"),
         *[F.col(c).alias(c) for c in value_cols],
     )
-    r_tagged = right.select(
+    # NULL-timestamp right rows can never satisfy rts <= lts (SQL
+    # comparison semantics, DuckDB ASOF agrees) — drop them up front;
+    # without this they sort NULLS FIRST and the window hands them to
+    # every row after them (found by the randomized parity test, r7).
+    # A NULL-timestamp LEFT row needs no guard: with NULL right rows
+    # gone, its window prefix holds only left rows, so _m is NULL and
+    # it comes out NULL-padded.
+    r_tagged = right.where(F.col(rts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(rts).alias("_ts"),
         F.lit(0).alias("_side"),

@@ -175,3 +175,119 @@ def test_text_stats_bounds_batch(spark):
         assert r["lang"] is None or isinstance(r["lang"], str)
     en = next(r for r in rows if r["id"] == 2)
     assert en["lang"] == "en"  # pure-stopword English text
+
+
+# ------------------------------------------- temporal joins vs brute force
+# (r7) randomized parity for the two custom joins: the binned range
+# join against a literal nested-loop filter, and the as-of join against
+# a per-row Python argmax — both over data families with NULLs, ties,
+# duplicate rows, and empty sides. Few examples, one Spark job each:
+# hypothesis explores the input family, Spark executes in one batch.
+
+_small_int = st.one_of(st.none(), st.integers(min_value=-3, max_value=12))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 99), _small_int, _small_int),
+        max_size=12,
+    ),
+    ivs=st.lists(
+        st.tuples(_small_int, _small_int, _small_int),
+        max_size=10,
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_range_join_matches_nested_loop(spark, pts, ivs, how):
+    from grafeo_memory_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame(
+        pts or [(0, None, None)], "pid int, k int, p int"
+    )
+    if not pts:
+        points = points.limit(0)
+    intervals = spark.createDataFrame(
+        ivs or [(None, None, None)], "k int, lo int, hi int"
+    )
+    if not ivs:
+        intervals = intervals.limit(0)
+    got = sorted(
+        (
+            tuple(r)
+            for r in range_join(
+                points, intervals,
+                point_col="p", lo_col="lo", hi_col="hi", on="k",
+                bin_width=4.0, how=how,
+            ).collect()
+        ),
+        key=repr,
+    )
+    expect = []
+    for pid, k, p in pts:
+        hits = [
+            (lo, hi)
+            for (ik, lo, hi) in ivs
+            if k is not None and ik == k
+            and p is not None and lo is not None and hi is not None
+            and lo <= p <= hi
+        ]
+        for lo, hi in hits:
+            expect.append((pid, k, p, lo, hi))
+        if not hits and how == "left":
+            expect.append((pid, k, p, None, None))
+    assert got == sorted(expect, key=repr)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 99), _small_int, _small_int),
+        max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(_small_int, _small_int, st.integers(0, 9)),
+        max_size=10,
+    ),
+    tol=st.sampled_from([None, 0, 3]),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_python_argmax(spark, left, right, tol):
+    from grafeo_memory_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        left or [(0, None, None)], "lid int, k int, ts int"
+    )
+    if not left:
+        ldf = ldf.limit(0)
+    rdf = spark.createDataFrame(
+        right or [(None, None, 0)], "k int, ts int, v int"
+    )
+    if not right:
+        rdf = rdf.limit(0)
+    got = sorted(
+        (
+            tuple(r)
+            for r in asof_join(
+                ldf, rdf, on="k", ts_col="ts", value_cols=["v"],
+                tolerance=tol,
+            ).collect()
+        ),
+        key=repr,
+    )
+    expect = []
+    for lid, k, ts in left:
+        cands = [
+            (rts, v)
+            for (rk, rts, v) in right
+            if k is not None and rk == k
+            and ts is not None and rts is not None and rts <= ts
+        ]
+        if tol is not None:
+            cands = [(rts, v) for rts, v in cands if rts >= ts - tol]
+        if cands:
+            # greatest (ts, value) struct = operator's deterministic tie
+            rts, v = max(cands)
+            expect.append((lid, k, ts, v, rts))
+        else:
+            expect.append((lid, k, ts, None, None))
+    assert got == sorted(expect, key=repr)
