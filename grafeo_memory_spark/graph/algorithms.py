@@ -180,13 +180,22 @@ def label_propagation(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("node_id"), "community")
             .agg(F.count("*").alias("votes"))
         )
-        w = Window.partitionBy("node_id").orderBy(
-            F.col("votes").desc(), F.col("community").asc()
-        )
+        # deterministic argmax as a hash aggregate (r7 — replaces a
+        # row_number window, trading the per-node sort for a partial-
+        # aggregating min over the (-votes, community) struct; same
+        # most-frequent-label, ties-to-smallest semantics the oracle
+        # pins)
         new_labels = (
-            nbr_labels.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node_id", "community")
+            nbr_labels.groupBy("node_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("_nv"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("_best")
+            )
+            .select("node_id", F.col("_best.community").alias("community"))
         )
         # isolated nodes keep their own label. Checkpoint every round:
         # new_labels feeds both the changed-count job and the next
@@ -610,17 +619,17 @@ def betweenness_centrality(
     # w. The shortest-path DAG of an unweighted BFS only connects
     # consecutive levels, so deltas are computed per level — each step
     # touches one level's rows, not the whole visited set (the full
-    # (s,v) table is never rewritten).
+    # (s,v) table is never rewritten). Each delta frame CARRIES its
+    # level's sigma (r7), so the contrib step is edges ⋈ upper only —
+    # the former lower ⋈ lower_delta re-join per level is gone.
     deltas = [
-        levels[-1].select("s", "v").withColumn("delta", F.lit(0.0))
+        levels[-1].select("s", "v", "sigma").withColumn("delta", F.lit(0.0))
     ]
     for d in range(len(levels) - 1, 0, -1):
-        lower = levels[d].select("s", "v", "sigma")
         upper = levels[d - 1].select("s", "v", "sigma")
-        lower_delta = deltas[-1]  # (s, v, delta) of depth-d nodes
+        lower_delta = deltas[-1]  # (s, v, sigma, delta) of depth-d nodes
         contrib = (
-            lower.join(lower_delta, ["s", "v"])
-            .withColumnRenamed("v", "w")
+            lower_delta.withColumnRenamed("v", "w")
             .withColumnRenamed("sigma", "sigma_w")
             .join(
                 und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
@@ -642,11 +651,11 @@ def betweenness_centrality(
             .agg(F.sum("add").alias("add"))
         )
         deltas.append(
-            upper.select("s", "v")
-            .join(contrib, ["s", "v"], "left")
+            upper.join(contrib, ["s", "v"], "left")
             .select(
                 "s",
                 "v",
+                "sigma",
                 F.coalesce(F.col("add"), F.lit(0.0)).alias("delta"),
             )
             # lazy: materializes inside the next level's contrib job
@@ -654,9 +663,9 @@ def betweenness_centrality(
             .localCheckpoint(eager=False)
         )
 
-    all_delta = deltas[0]
+    all_delta = deltas[0].select("s", "v", "delta")
     for lvl in deltas[1:]:
-        all_delta = all_delta.unionByName(lvl)
+        all_delta = all_delta.unionByName(lvl.select("s", "v", "delta"))
     bc = (
         all_delta.where(F.col("s") != F.col("v"))
         .groupBy(F.col("v").alias("node_id"))

@@ -192,10 +192,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash columns is pure arithmetic on these values."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
-    sketches = docs.select(
-        "doc_id",
-        simhash16("text").alias("simhash"),
-        simhash64("text").alias("simhash64"),
+    # simhash16 ≡ the low 16 bits of simhash64 by construction (both
+    # read vote bits 0..15 of the same seed-0 md5), so the row computes
+    # the 64-bit sketch ONCE, materializes the tiny (id, fp) table, and
+    # masks — one md5+vote pass instead of two (r7). The checkpoint is
+    # load-bearing: without it ProjectCollapse inlines the sketch
+    # expression into BOTH output columns and the pass runs twice
+    # (measured slower than the two-function version it replaced).
+    # simhash16() remains for callers that only want the cheap sketch;
+    # lane equality is pinned in tests.
+    sketches = (
+        docs.select("doc_id", simhash64("text").alias("simhash64"))
+        .localCheckpoint(eager=False)
+        .select(
+            "doc_id",
+            F.col("simhash64").bitwiseAND(F.lit(0xFFFF)).alias("simhash"),
+            "simhash64",
+        )
     )
     return (
         sketches.join(
@@ -628,7 +641,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench/corpus scale the codebook grows with the data — the same
     knob a 100-TB run would turn (r7)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cent = max(8, emb.count() // 128)
+    # grows with the corpus, capped where the broadcast codebook stops
+    # being driver-sized (the paper holds ~100k clusters at LAION
+    # scale; past the cap clusters grow instead — within-cluster pair
+    # cost rises linearly, never quadratically in the corpus)
+    n_cent = min(max(8, emb.count() // 128), 100_000)
     cents = [
         (i, [float(x) for x in r[0]])
         for i, r in enumerate(
