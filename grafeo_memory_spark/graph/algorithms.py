@@ -39,6 +39,7 @@ __all__ = [
     "triangle_count",
     "adamic_adar",
     "k_core",
+    "symmetrize",
 ]
 
 
@@ -48,6 +49,28 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Public prep for the ``symmetrized=True`` fast path of
+    :func:`triangle_count` / :func:`adamic_adar` / :func:`k_core`:
+    the loop-free undirected simple edge set, each edge present in both
+    directions exactly once. Compute once, ``localCheckpoint`` (lazy),
+    and hand to every metric that runs over the same graph."""
+    return _undirected(edges).where(F.col("src") != F.col("dst"))
+
+
+def _und_simple(edges: DataFrame, symmetrized: bool) -> DataFrame:
+    """Loop-free undirected edge set. ``symmetrized=True`` promises the
+    input already holds both (u,v) and (v,u) exactly once — the caller
+    pays the symmetrize+distinct shuffle ONCE and shares the result
+    across several metrics (triangle/AA/k-core run over the same graph
+    in one analytics pass; at scale the symmetrize is a full shuffle of
+    the largest table, so three private copies is the difference
+    between one edge shuffle and three)."""
+    if symmetrized:
+        return edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    return symmetrize(edges)
 
 
 def pagerank(
@@ -681,7 +704,9 @@ def betweenness_centrality(
     return out
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, *, symmetrized: bool = False
+) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph;
     returns (node_id, triangles) for every node in at least one
     triangle. Graph-engine staple the reference delegates to its closed
@@ -698,7 +723,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     are orientation-invariant, so the DuckDB oracle may replay the
     simpler id-ordered SQL and must agree bit-for-bit.
     """
-    und = _undirected(edges).where(F.col("src") != F.col("dst"))
+    und = _und_simple(edges, symmetrized)
     deg = und.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("d"))
     canon = und.where(F.col("src") < F.col("dst"))
     oriented = (
@@ -754,6 +779,8 @@ def adamic_adar(
     edges: DataFrame,
     top_k: int | None = None,
     max_hub_degree: int | None = None,
+    *,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """Adamic-Adar link prediction over the undirected simple graph:
     for every NON-adjacent pair (a, b), score
@@ -771,7 +798,7 @@ def adamic_adar(
     an anti-join against the edge list so only predicted (absent) links
     emit.
     """
-    und = _undirected(edges).where(F.col("src") != F.col("dst"))
+    und = _und_simple(edges, symmetrized)
     deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("d"))
     ctr = und.select(F.col("src").alias("z"), F.col("dst").alias("x")).join(
         deg, "z"
@@ -806,6 +833,8 @@ def k_core(
     k: int,
     max_iter: int = 100,
     driver_edge_threshold: int = 1_000_000,
+    *,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """The k-core: the maximal subgraph where every node has degree
     >= k, found by iterative peeling (drop all nodes under k, recompute
@@ -824,11 +853,7 @@ def k_core(
     to flatten lineage (the pagerank/LPA loop shape); rounds needed =
     peel depth, typically far below diameter.
     """
-    cur = (
-        _undirected(edges)
-        .where(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
-    )
+    cur = _und_simple(edges, symmetrized).localCheckpoint(eager=True)
     if driver_edge_threshold and cur.count() <= driver_edge_threshold:
         from collections import Counter, defaultdict
 

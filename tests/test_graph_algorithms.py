@@ -235,3 +235,30 @@ def test_k_core_paths_agree(spark):
     }
     assert fast == slow
     assert dict(fast)[1] == 3  # node 1 keeps its K4 degree
+
+
+def test_symmetrized_fast_path_agrees(spark):
+    # the shared-prep path (symmetrize once, pass symmetrized=True to
+    # all three metrics — graph_metrics' one-edge-shuffle shape) must
+    # agree exactly with each metric's private symmetrize
+    from grafeo_memory_spark.graph.algorithms import (
+        adamic_adar,
+        k_core,
+        symmetrize,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (3, 4), (1, 4),
+         (4, 5), (5, 5), (6, 7), (7, 8), (6, 8)],
+        "src long, dst long",
+    )
+    und = symmetrize(edges).localCheckpoint(eager=False)
+    for private, shared in (
+        (triangle_count(edges), triangle_count(und, symmetrized=True)),
+        (adamic_adar(edges), adamic_adar(und, symmetrized=True)),
+        (k_core(edges, 2), k_core(und, 2, symmetrized=True)),
+    ):
+        assert sorted(map(tuple, private.collect())) == sorted(
+            map(tuple, shared.collect())
+        )

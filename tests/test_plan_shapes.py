@@ -135,3 +135,31 @@ class TestFuzzyDedup:
         plan = _plan(near_dedup(docs, "text", "doc_id"))
         assert "CartesianProduct" not in plan
         assert "LeftAnti" in plan
+
+
+class TestTemporalJoinPlans:
+    def test_range_join_left_is_two_hash_joins_no_window(self, spark):
+        """The r7 left path is matched-inner ∪ anti-join — the r6
+        surrogate-id window sort (a full shuffle+sort of the joined set
+        on a per-row-unique key) must never come back."""
+        from grafeo_memory_spark.operators.range_join import range_join
+
+        # plan shape only — numeric point/bounds, values irrelevant
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        pts = ev.select(
+            "user_id", F.col("event_id").cast("double").alias("x")
+        )
+        iv = ev.select(
+            "user_id",
+            (F.col("event_id") - 5).cast("double").alias("lo"),
+            (F.col("event_id") + 5).cast("double").alias("hi"),
+        )
+        plan = _plan(
+            range_join(
+                pts, iv, point_col="x", lo_col="lo", hi_col="hi",
+                on="user_id", how="left",
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
+        assert "Window" not in plan
