@@ -169,7 +169,7 @@ _DUCK_COS_AB = (
 @query(
     "simhash_fingerprints",
     oracle=f"""
-    SELECT doc_id, {_simhash16_sql()} AS simhash,
+    SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS simhash,
            {_simhash64_sql()} AS simhash64,
            {_minhash_sql(3, 0)} AS m0,
            {_minhash_sql(3, 1)} AS m1,
@@ -369,7 +369,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t.vec_id <> p.probe_id
     )
     , ranked AS (
-      SELECT 'lsh' AS kind, probe_id, id, round(sim, 6) AS sim, rank FROM (
+      SELECT 'lsh' AS kind, probe_id, id, round(sim, 6) AS sim,
+             CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
                                      ORDER BY sim DESC, id ASC) AS rank
         FROM scored
@@ -384,7 +385,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) p
       WHERE t.label <> p.label
     ), hn AS (
-      SELECT 'hardneg' AS kind, probe_id, id, round(sim, 6) AS sim, rank
+      SELECT 'hardneg' AS kind, probe_id, id, round(sim, 6) AS sim,
+             CAST(rank AS INTEGER) AS rank
       FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
                                      ORDER BY sim DESC, id ASC) AS rank
@@ -450,9 +452,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            {_lang_id_sql()} AS lang_guess,
-           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
-             AS tok_ws,
-           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS tok_bpe,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS INTEGER) AS tok_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))
+                AS INTEGER) AS tok_bpe,
            round({_QUALITY_SQL}, 6) AS quality
     FROM documents ORDER BY doc_id
     """,

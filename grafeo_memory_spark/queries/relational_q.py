@@ -345,13 +345,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     durs AS (
       SELECT user_id, session_seq, ts, value,
-             CAST(CAST(value AS DECIMAL(14,6)) * 1000000 AS BIGINT) AS v_e6,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6,
              lead(epoch_us(ts)) OVER (
                PARTITION BY user_id, session_seq
                ORDER BY ts, event_id) - epoch_us(ts) AS dur
       FROM sess
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us,
@@ -401,16 +401,21 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `operators/windows.time_weighted_avg` packages standalone): each
     # value holds until the next event; exact integer micros on both
     # sides so the weights are bit-identical with the oracle's epoch_us.
-    # The emitted schema is FLOAT-FREE (VERDICT r6 item 1): values enter
-    # as decimal(14,6) — the same double→decimal cast in both engines —
-    # and everything after is integer fixed-point (value micro-units,
-    # e6). total_value_e6 = Σ v_e6 is a plain BIGINT sum; twa_value_e6
-    # is the round-half-up integer quotient (2N + D) div (2D) with
-    # N = Σ v_e6·dur (decimal(38,0) — a per-row product tops out near
-    # 2^59·µs so the sum needs headroom) and D = Σ dur. No double byte
-    # pattern exists anywhere in the result, so the driver hash cannot
-    # legally diverge between engines (values and durations are
-    # non-negative, so trunc-div ≡ floor-div on both sides).
+    # The emitted schema is FLOAT-FREE (VERDICT r6 item 1) and, as of
+    # r8, the fixed-point derivation itself is pure IEEE-754 double
+    # arithmetic: v_e6 = floor(value*1e6 + 0.5) cast to BIGINT. The r7
+    # double→decimal(14,6) cast was NOT engine-identical — Spark rounds
+    # the double's shortest decimal string HALF_UP
+    # (Decimal.apply(double) → BigDecimal(d.toString)) while DuckDB
+    # rounds the binary double, so tie values like 8.0244445 produced
+    # 8024445 vs 8024444 (ADVICE r7). Multiply/add/floor on doubles are
+    # bit-identical across engines, so v_e6 now is too. Everything
+    # after is integer fixed-point: total_value_e6 = Σ v_e6 (BIGINT);
+    # twa_value_e6 is the round-half-up integer quotient (2N + D) div
+    # (2D) with N = Σ v_e6·dur (decimal(38,0) — a per-row product tops
+    # out near 2^59·µs so the sum needs headroom) and D = Σ dur
+    # (values and durations are non-negative, so trunc-div ≡ floor-div
+    # on both sides).
     wdur = Window.partitionBy("user_id", "session_seq").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -419,8 +424,9 @@ def q_group_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_us", us)
         .withColumn(
             "_ve6",
-            (F.col("value").cast("decimal(14,6)") * F.lit(1_000_000))
-            .cast("long"),
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
         )
         .withColumn("_dur", F.lead("_us").over(wdur) - F.col("_us"))
     )
