@@ -84,7 +84,15 @@ def _call_with_optional_prompt(fn, *args, prompt):
         )
     except (TypeError, ValueError):  # builtins / C callables: just try
         accepts = True
-    return fn(*args, prompt=prompt) if accepts else fn(*args)
+    if not accepts:
+        return fn(*args)
+    try:
+        return fn(*args, prompt=prompt)
+    except TypeError:
+        # un-introspectable callable that turned out prompt-unaware:
+        # retry bare rather than letting the caller's blanket except
+        # silently turn every add() into an empty extraction
+        return fn(*args)
 
 
 def _locked(fn):

@@ -249,10 +249,14 @@ def probe_image_meta(payload: bytes) -> tuple[str | None, int, int]:
         if payload is None or len(payload) < 10:
             return None, 0, 0
         if payload[:8] == _PNG_SIG:
+            if len(payload) < 24:  # truncated IHDR: no dimension field
+                return None, 0, 0
             w = int.from_bytes(payload[16:20], "big")
             h = int.from_bytes(payload[20:24], "big")
             return "png", w, h
         if payload[:2] == b"BM":
+            if len(payload) < 26:  # truncated BITMAPINFOHEADER
+                return None, 0, 0
             w = int.from_bytes(payload[18:22], "little", signed=True)
             h = int.from_bytes(payload[22:26], "little", signed=True)
             return "bmp", abs(w), abs(h)

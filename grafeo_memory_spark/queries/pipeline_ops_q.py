@@ -570,7 +570,8 @@ _DUCK_COS_EC2 = (
     WITH RECURSIVE cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
              embedding::DOUBLE[] AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 8
+      FROM embeddings ORDER BY vec_id
+      LIMIT greatest(8, (SELECT count(*) // 128 FROM embeddings))
     ),
     assign AS (
       SELECT vec_id, cid, sim AS c_sim FROM (
@@ -639,10 +640,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Codebook size follows the paper's scale rule (n_centroids grows
     with the corpus; SemDeDup uses ~100k clusters for LAION):
     ``max(8, n // 128)`` seed centroids keeps within-cluster pair
-    fan-out ~n*128 instead of (n/8)^2 * 8. At the sf0.01 correctness
-    gate this resolves to exactly the oracle's 8 centroids; at
-    bench/corpus scale the codebook grows with the data — the same
-    knob a 100-TB run would turn (r7)."""
+    fan-out ~n*128 instead of (n/8)^2 * 8. The oracle derives its
+    centroid count from the SAME expression
+    (``greatest(8, count(*) // 128)`` in its LIMIT, r8 — ADVICE r7),
+    so a fixture regeneration past 1152 rows changes both engines in
+    lockstep instead of silently splitting them. The Spark-side
+    100k cap is the only divergence point, far past gate scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     # grows with the corpus, capped where the broadcast codebook stops
     # being driver-sized (the paper holds ~100k clusters at LAION

@@ -19,6 +19,40 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+# The grading driver hashes collected values dtype-sensitively (a
+# DuckDB HUGEINT reaches pandas as float64 and hash-mismatches Spark's
+# int64 even when every value is equal — the group_by_session red rows
+# of r5-r7). Compare logical column types up front so that class of
+# bug fails HERE, not only in the driver's artifact.
+_DUCK_OK = {  # spark simpleString prefix -> acceptable duckdb types
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+}
+
+def dtype_mismatches(sdf_schema, rel):
+    duck = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    bad = []
+    for f in sdf_schema.fields:
+        st, dt = f.dataType.simpleString(), duck.get(f.name)
+        if dt is None:
+            bad.append((f.name, st, "<missing>"))
+            continue
+        if st.startswith("timestamp") and dt.startswith("TIMESTAMP"):
+            continue
+        if st.startswith("decimal") and dt.startswith("DECIMAL"):
+            continue
+        if st.startswith("array"):
+            continue
+        if st in _DUCK_OK and dt not in _DUCK_OK[st]:
+            bad.append((f.name, st, dt))
+    return bad
+
 def norm(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     def c(v):
@@ -37,9 +71,11 @@ for name, fn in qs.items():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         rel = con.sql(os_[name])
+        tbad = dtype_mismatches(sdf.schema, rel)
         dcols, drows = norm(rel.columns, rel.fetchall())
-        ok = scols == dcols and srows == drows
-        print(f"{'MATCH' if ok else 'MISMATCH'} {name}: spark={len(srows)} duck={len(drows)} cols={'ok' if scols==dcols else (scols,dcols)}")
+        ok = scols == dcols and srows == drows and not tbad
+        print(f"{'MATCH' if ok else 'MISMATCH'} {name}: spark={len(srows)} duck={len(drows)} cols={'ok' if scols==dcols else (scols,dcols)}"
+              + (f" dtypes={tbad}" if tbad else ""))
         if not ok:
             fails += 1
             for a, b in list(zip(srows, drows))[:3]:

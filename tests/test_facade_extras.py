@@ -246,6 +246,26 @@ def test_no_prompts_keeps_bare_signature(spark):
     assert len(res.added_ids) == 1
 
 
+def test_unintrospectable_prompt_unaware_extractor_retries_bare(spark):
+    # ADVICE r7: when inspect.signature fails (builtins / C callables)
+    # the engine optimistically passes prompt=;  a prompt-unaware
+    # callable of that kind must get a bare retry, not a swallowed
+    # TypeError that turns every add() into an empty extraction
+    class CLikeExtract:
+        # invalid __signature__ makes inspect.signature raise TypeError
+        __signature__ = "not-a-signature"
+
+        def __call__(self, text):
+            return {"facts": [text], "entities": [], "relations": []}
+
+    class CLikeExtractor:
+        extract = CLikeExtract()
+
+    eng = MemoryEngine(spark, extractor=CLikeExtractor(), now_fn=tick)
+    res = eng.add("survives the optimistic prompt kwarg", user_id="u")
+    assert len(res.added_ids) == 1
+
+
 def test_package_top_level_exports():
     """`from grafeo_memory_spark import ...` mirrors the reference
     package surface (reference `__init__.py` exports)."""

@@ -520,6 +520,14 @@ class TestHeaderProbe:
         ) == ("jpeg", 0, 0)
         # sub-10-byte payloads are uniformly unknown
         assert probe_image_meta(b"\xff\xd8\xff\xd9") == (None, 0, 0)
+        # truncated-past-magic headers must NOT yield garbage dims
+        # (ADVICE r7): PNG needs 24 bytes for IHDR w/h, BMP needs 26
+        png_sig = b"\x89PNG\r\n\x1a\n"
+        assert probe_image_meta(png_sig + b"\x00" * 10) == (None, 0, 0)
+        assert probe_image_meta(
+            encode_png(np.zeros((2, 2, 3), np.uint8))[:20]
+        ) == (None, 0, 0)
+        assert probe_image_meta(b"BM" + b"\x01" * 12) == (None, 0, 0)
 
     def test_probe_images_prunes_before_decode(self, spark):
         from grafeo_memory_spark.pipeline.multimodal import probe_images
