@@ -73,11 +73,51 @@ def _und_simple(edges: DataFrame, symmetrized: bool) -> DataFrame:
     return symmetrize(edges)
 
 
+def _pagerank_driver(
+    spark, edge_np, damping: float, max_iter: int, tol: float
+) -> DataFrame:
+    """Driver fast path of :func:`pagerank` — the identical per-
+    iteration arithmetic (uniform dangling redistribution, L1
+    convergence delta computed AFTER the rank update) vectorized over a
+    compact-id edge array. Agrees with the distributed loop to
+    float-sum reordering, which the shuffle sum never guaranteed
+    either."""
+    import numpy as np
+    import pandas as pd
+
+    node_ids = np.unique(edge_np)
+    n = len(node_ids)
+    if n == 0:
+        return spark.createDataFrame([], "node_id long, pagerank double")
+    src = np.searchsorted(node_ids, edge_np[:, 0])
+    dst = np.searchsorted(node_ids, edge_np[:, 1])
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    is_dangling = out_deg == 0
+    w = 1.0 / out_deg[src]  # per-edge contribution weight
+
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling = float(is_dangling.sum()) / n
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        inflow = np.bincount(dst, weights=ranks[src] * w, minlength=n)
+        new_ranks = base + damping * (inflow + dangling / n)
+        delta = float(np.abs(new_ranks - ranks).sum())
+        dangling = float(new_ranks[is_dangling].sum())
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"node_id": node_ids, "pagerank": ranks}),
+        "node_id long, pagerank double",
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iter: int = 100,
     tol: float = 1e-6,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """G1 — PageRank on the directed edge list (src, dst); returns
     (node_id, pagerank) summing to 1, matching the reference's
@@ -93,7 +133,25 @@ def pagerank(
     produced by iteration ``i``, so it rides the delta job for free).
     Dangling-node mass is redistributed uniformly, the standard
     treatment.
+
+    Edge lists at or under ``driver_edge_threshold`` rows take the
+    gated driver fast path (`_pagerank_driver` — same pattern as
+    :func:`k_core` / :func:`betweenness_centrality`): a 100-iteration
+    fixpoint at one shuffle per iteration is pure scheduling overhead
+    on a sub-million-edge graph. ``driver_edge_threshold=0`` forces
+    the distributed loop; a randomized parity test pins the two paths
+    to each other.
     """
+    if driver_edge_threshold and edges.count() <= driver_edge_threshold:
+        import numpy as np
+
+        edge_np = (
+            edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
+        )
+        return _pagerank_driver(
+            edges.sparkSession, edge_np, damping, max_iter, tol
+        )
+
     verts = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
@@ -572,11 +630,78 @@ def louvain(
     )
 
 
+def _brandes_driver(
+    und_edges: "np.ndarray",
+    node_ids: "np.ndarray",
+    src_ids: "np.ndarray",
+    max_depth: int,
+) -> "np.ndarray":
+    """Vectorized single-machine Brandes over a CSR adjacency — the
+    driver fast path of :func:`betweenness_centrality`. Per source:
+    level-synchronous BFS (σ path counts scatter-added per level), then
+    the backward δ sweep over consecutive-level DAG edges only — the
+    exact arithmetic of the distributed per-level joins, so the two
+    paths agree to float-sum reordering (the distributed groupBy sum is
+    itself order-nondeterministic).  Returns δ-totals per node (the
+    UN-halved, un-normalized accumulation)."""
+    import numpy as np
+
+    n = len(node_ids)
+    # compact ids -> 0..n-1; CSR over the symmetric distinct edge set
+    src_c = np.searchsorted(node_ids, und_edges[:, 0])
+    dst_c = np.searchsorted(node_ids, und_edges[:, 1])
+    order = np.argsort(src_c, kind="stable")
+    src_c, dst_c = src_c[order], dst_c[order]
+    indptr = np.searchsorted(src_c, np.arange(n + 1))
+    indices = dst_c
+    delta_total = np.zeros(n, dtype=np.float64)
+
+    def expand(frontier: "np.ndarray"):
+        starts, ends = indptr[frontier], indptr[frontier + 1]
+        cnt = ends - starts
+        total = int(cnt.sum())
+        if total == 0:
+            return frontier[:0], indices[:0]
+        rep_v = np.repeat(frontier, cnt)
+        flat = np.repeat(starts, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        return rep_v, indices[flat]
+
+    for s in np.searchsorted(node_ids, src_ids):
+        depth = np.full(n, -1, dtype=np.int32)
+        sigma = np.zeros(n, dtype=np.float64)
+        depth[s] = 0
+        sigma[s] = 1.0
+        levels = [np.array([s])]
+        for d in range(max_depth):
+            rep_v, nbr = expand(levels[d])
+            if len(nbr) == 0:
+                break
+            new = np.unique(nbr[depth[nbr] == -1])
+            if len(new) == 0:
+                break
+            depth[new] = d + 1
+            at_next = depth[nbr] == d + 1
+            np.add.at(sigma, nbr[at_next], sigma[rep_v[at_next]])
+            levels.append(new)
+        delta = np.zeros(n, dtype=np.float64)
+        for d in range(len(levels) - 1, 0, -1):
+            rep_w, nbr = expand(levels[d])
+            up = depth[nbr] == d - 1
+            v, w = nbr[up], rep_w[up]
+            np.add.at(delta, v, sigma[v] / sigma[w] * (1.0 + delta[w]))
+        delta[s] = 0.0  # distributed path drops s == v rows
+        delta_total += delta
+    return delta_total
+
+
 def betweenness_centrality(
     edges: DataFrame,
     sources: list[int] | None = None,
     max_depth: int = 10,
     normalized: bool = True,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """G2 — Brandes betweenness over the undirected edge set via
     multi-source BFS joins; returns (node_id, betweenness).
@@ -588,10 +713,40 @@ def betweenness_centrality(
     join regardless of how many sources are in flight — the
     aggregateMessages trick that keeps the loop depth-bounded, not
     source-bounded.
+
+    Graphs at or under ``driver_edge_threshold`` symmetric edges take a
+    gated driver fast path (same pattern as :func:`k_core` /
+    :func:`louvain`): collect the edge set once and run the identical
+    per-level arithmetic vectorized in numpy (`_brandes_driver`) — a
+    depth-bounded loop of ~3 shuffles per level is pure scheduling
+    overhead on a sub-million-edge graph, while the distributed path
+    stays the scale shape (pass ``driver_edge_threshold=0`` to force
+    it; the parity test pins driver ≡ distributed on random graphs).
     """
     und = _undirected(edges).localCheckpoint()
     verts = und.select(F.col("src").alias("node_id")).distinct()
     n = verts.count()
+
+    if driver_edge_threshold and und.count() <= driver_edge_threshold:
+        import numpy as np
+        import pandas as pd
+
+        und_np = und.toPandas()[["src", "dst"]].to_numpy(dtype=np.int64)
+        node_ids = np.unique(und_np[:, 0])
+        if sources is None:
+            src_ids = node_ids
+        else:
+            wanted = np.array(sorted({int(s) for s in sources}), np.int64)
+            src_ids = wanted[np.isin(wanted, node_ids)]
+        delta_total = _brandes_driver(und_np, node_ids, src_ids, max_depth)
+        bc_vals = delta_total / 2.0  # undirected halving
+        if normalized and n > 2:
+            bc_vals = bc_vals / ((n - 1) * (n - 2) / 2.0)
+        return und.sparkSession.createDataFrame(
+            pd.DataFrame({"node_id": node_ids, "betweenness": bc_vals}),
+            "node_id long, betweenness double",
+        )
+
     if sources is None:
         src_df = verts.select(F.col("node_id").alias("s"))
     else:

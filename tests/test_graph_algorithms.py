@@ -122,6 +122,42 @@ def test_betweenness_square_with_diagonal(spark):
     assert got[4] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_betweenness_driver_matches_distributed(spark):
+    """The gated numpy fast path (r8) must agree with the distributed
+    per-level joins — randomized parity on seeded graphs, full-source
+    and sampled-source, with and without a binding depth cap."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 24 + 8 * trial
+        pairs = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(3 * n)
+        }
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = _edges(spark, pairs)
+        sources = None if trial == 0 else sorted(
+            {rng.randrange(n) for _ in range(6)}
+        )
+        depth = 3 if trial == 2 else 10
+        fast = {
+            r["node_id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                edges, sources=sources, max_depth=depth
+            ).collect()
+        }
+        slow = {
+            r["node_id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                edges, sources=sources, max_depth=depth,
+                driver_edge_threshold=0,
+            ).collect()
+        }
+        assert fast.keys() == slow.keys()
+        for k in fast:
+            assert fast[k] == pytest.approx(slow[k], abs=1e-9), (trial, k)
+
+
 def test_louvain_label_fixture_is_fresh(spark):
     """The committed fixtures/sf0.01/louvain_labels.parquet must match
     a fresh deterministic run — the driver's structural oracle reads
