@@ -49,7 +49,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="grafeo-bench")
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    # bench-only rows: the distributed scale shapes
+    # (driver_edge_threshold=0) — measured every round so a regression
+    # in a 100-TB loop shape is visible even though correctness
+    # fixtures all take the gated numpy fast paths (VERDICT r8 item 2)
+    from grafeo_memory_spark.queries import BENCH_EXTRAS
+
+    queries.update(BENCH_EXTRAS)
 
     # Warm-up: JVM, parquet footer reads, codegen caches. Touch every
     # table a first-position query might scan so per-query numbers

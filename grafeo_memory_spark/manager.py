@@ -77,15 +77,23 @@ def _call_with_optional_prompt(fn, *args, prompt):
     ``**kwargs`` or a ``prompt`` parameter receives the template)."""
     import inspect
 
+    introspectable = True
     try:
         params = inspect.signature(fn).parameters
         accepts = "prompt" in params or any(
             p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
         )
     except (TypeError, ValueError):  # builtins / C callables: just try
+        introspectable = False
         accepts = True
     if not accepts:
         return fn(*args)
+    if introspectable:
+        # signature says prompt-aware: a TypeError from the call is the
+        # callable's own bug — re-raising beats silently invoking a
+        # side-effecting extractor (e.g. a billed LLM call) twice
+        # (ADVICE r8)
+        return fn(*args, prompt=prompt)
     try:
         return fn(*args, prompt=prompt)
     except TypeError:

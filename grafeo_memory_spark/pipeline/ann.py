@@ -174,13 +174,44 @@ def ivf_assign(
     ~10⁷ codebook floats (100k clusters × 768 dims) the task-shipped
     literal itself gets heavy; switch to a k-row broadcast join +
     per-id max(struct) at that point.
+
+    Fold budget (r9): the naive per-centroid ``cosine_similarity``
+    costs 3 array folds per centroid (dot + both norms) = 3k folds per
+    row. Here the row norm is projected ONCE per row and the centroid
+    norms are computed driver-side into a literal, so the scan does
+    k dot-folds + 1 norm-fold per row — ~3× less fold work at any
+    codebook size. Bit-parity is preserved, not just approximate:
+    the driver-side norm is the same left-fold acc+x*x then sqrt over
+    the same doubles (IEEE 754 ops are exactly specified, and sqrt is
+    correctly rounded), and the final ``coalesce(dot/nullif(na*nb,0),
+    0)`` is the exact expression `cosine_similarity` builds — so every
+    hash-verified oracle replaying dot/(sqrt·sqrt) still matches.
     """
+    import math
+
+    def _pynorm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:  # same left-fold order as functions.vector.l2_norm
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
     cvs = F.lit([[float(x) for x in c] for _, c in centroids])
     cids = F.lit([int(cid) for cid, _ in centroids])
+    cnorms = F.lit([_pynorm(c) for _, c in centroids])
+    from grafeo_memory_spark.functions.vector import l2_norm
+
+    with_norm = table.withColumn("_vn", l2_norm(F.col(vec_col)))
     sims = F.transform(
         cvs,
         lambda cv, i: F.struct(
-            cosine_similarity(F.col(vec_col), cv).alias("sim"),
+            F.coalesce(
+                dot(F.col(vec_col), cv)
+                / F.nullif(
+                    F.col("_vn") * F.element_at(cnorms, i + F.lit(1)),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            ).alias("sim"),
             F.element_at(cids, i + F.lit(1)).alias("cid"),
         ),
     )
@@ -192,7 +223,7 @@ def ivf_assign(
     ]
     if with_sim:
         cols.append(best["sim"].alias("c_sim"))
-    return table.select(*cols)
+    return with_norm.select(*cols)
 
 
 def ivf_topk(

@@ -660,7 +660,7 @@ def semdedup(
     dup-graph diameter); the final keep is a broadcast anti-join of
     loser ids only — the corpus itself is never shuffled.
     """
-    from grafeo_memory_spark.functions.vector import cosine_similarity
+    from grafeo_memory_spark.functions.vector import dot, l2_norm
     from grafeo_memory_spark.pipeline.ann import ivf_assign
 
     # One map-only scan produces assignment AND centroid-cosine: the
@@ -670,22 +670,42 @@ def semdedup(
     # representative pass, so without the checkpoint the assignment
     # scan re-runs three times and the self-join duplicates its plan.
     # In a production IVF build this table is persisted partitioned by
-    # centroid_id anyway.
-    scored = ivf_assign(
-        table, centroids, vec_col=vec_col, id_col=id_col, with_sim=True
-    ).localCheckpoint(eager=True)
+    # centroid_id anyway. The row norm rides along (r9): computed n
+    # times here instead of Σ|cluster|² times inside the pair scan —
+    # the pair predicate below then reproduces cosine_similarity's
+    # exact expression (coalesce(dot/nullif(norm_a*norm_b,0),0)) from
+    # the carried norms, bit-identical because the norm of a row is the
+    # same fold wherever it is evaluated.
+    scored = (
+        ivf_assign(
+            table, centroids, vec_col=vec_col, id_col=id_col, with_sim=True
+        )
+        .withColumn("v_norm", l2_norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     a = scored.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "centroid_id"
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("v_norm").alias("n_a"),
+        "centroid_id",
     )
     b = scored.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "centroid_id"
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("v_norm").alias("n_b"),
+        "centroid_id",
+    )
+    pair_cos = F.coalesce(
+        dot(F.col("v_a"), F.col("v_b"))
+        / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+        F.lit(0.0),
     )
     # materialize the (small) pair set before the component loop so the
     # iterative min-label rounds don't re-derive the join+cosine plan
     pairs = (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine_similarity("v_a", "v_b") >= eps)
+        .where(pair_cos >= eps)
         .select("id_a", "id_b")
     ).localCheckpoint(eager=True)
     clusters = dedup_clusters(pairs)

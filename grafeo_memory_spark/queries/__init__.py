@@ -21,6 +21,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: bench-only rows, NOT part of the ≤50-entry driver correctness
+#: window: the distributed scale shapes (driver_edge_threshold=0) whose
+#: wall-clock must stay measured every round even though every fixture
+#: is small enough to take the gated numpy fast paths (VERDICT r8 item
+#: 2 — without these rows a regression in the 100-TB loop shape would
+#: be invisible to every artifact). Correctness of these paths is
+#: pinned by the randomized driver≡distributed parity tests in
+#: tests/test_graph_algorithms.py.
+BENCH_EXTRAS: dict[str, QueryFn] = {}
+
 #: name of the flagship query run by ``entry()``
 FLAGSHIP = "search_pipeline"
 
@@ -35,6 +45,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def bench_extra(name: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a bench-only query (see ``BENCH_EXTRAS``)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        BENCH_EXTRAS[name] = fn
         return fn
 
     return deco

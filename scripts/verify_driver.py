@@ -23,34 +23,63 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 # DuckDB HUGEINT reaches pandas as float64 and hash-mismatches Spark's
 # int64 even when every value is equal — the group_by_session red rows
 # of r5-r7). Compare logical column types up front so that class of
-# bug fails HERE, not only in the driver's artifact.
-_DUCK_OK = {  # spark simpleString prefix -> acceptable duckdb types
+# bug fails HERE, not only in the driver's artifact. r9 (ADVICE r8 +
+# VERDICT r8 item 7): positional alignment (duplicate names no longer
+# collapse), unrecognized Spark types are REPORTED instead of skipped,
+# array element types compare recursively, and decimal precision/scale
+# must match exactly.
+_DUCK_OK = {  # spark simpleString -> acceptable duckdb type names
     "bigint": {"BIGINT"},
     "int": {"INTEGER"},
     "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
     "double": {"DOUBLE"},
     "float": {"FLOAT"},
     "string": {"VARCHAR"},
     "boolean": {"BOOLEAN"},
     "date": {"DATE"},
+    "binary": {"BLOB"},
 }
 
+def _compat(st: str, dt: str):
+    """Spark simpleString vs DuckDB type name; returns None when
+    compatible, else a reason string."""
+    dt = dt.strip()
+    if st.startswith("array<") and st.endswith(">"):
+        if not dt.endswith("[]"):
+            return f"array vs {dt}"
+        return _compat(st[6:-1], dt[:-2])
+    if st.startswith("timestamp"):
+        return None if dt.upper().startswith("TIMESTAMP") else f"timestamp vs {dt}"
+    if st.startswith("decimal"):
+        # exact precision/scale: decimal(12,2) must be DECIMAL(12,2)
+        want = st.upper().replace(" ", "")
+        got = dt.upper().replace(" ", "")
+        return None if want == got else f"{st} vs {dt}"
+    ok = _DUCK_OK.get(st)
+    if ok is None:
+        # map/struct/interval/... — the hash compare has no defined
+        # dtype contract for these; surface them instead of skipping
+        return f"unrecognized spark type {st!r} (duck {dt})"
+    return None if dt.upper() in ok else f"{st} vs {dt}"
+
 def dtype_mismatches(sdf_schema, rel):
-    duck = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    # positional over name-sorted fields on both sides: duplicate
+    # column names align in order instead of collapsing in a dict
+    sfields = sorted(
+        ((f.name, f.dataType.simpleString()) for f in sdf_schema.fields),
+    )
+    dfields = sorted(zip(rel.columns, (str(t) for t in rel.types)))
     bad = []
-    for f in sdf_schema.fields:
-        st, dt = f.dataType.simpleString(), duck.get(f.name)
-        if dt is None:
-            bad.append((f.name, st, "<missing>"))
+    for i in range(max(len(sfields), len(dfields))):
+        sn, st = sfields[i] if i < len(sfields) else ("<missing>", "-")
+        dn, dt = dfields[i] if i < len(dfields) else ("<missing>", "-")
+        if sn != dn:
+            bad.append((sn, st, f"name mismatch vs duck {dn!r}"))
             continue
-        if st.startswith("timestamp") and dt.startswith("TIMESTAMP"):
-            continue
-        if st.startswith("decimal") and dt.startswith("DECIMAL"):
-            continue
-        if st.startswith("array"):
-            continue
-        if st in _DUCK_OK and dt not in _DUCK_OK[st]:
-            bad.append((f.name, st, dt))
+        reason = _compat(st, dt)
+        if reason is not None:
+            bad.append((sn, st, reason))
     return bad
 
 def norm(cols, rows):
@@ -62,6 +91,11 @@ def norm(cols, rows):
     return sorted(cols), sorted([tuple(c(r[i]) for i in order) for r in rows], key=repr)
 
 qs, os_ = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:  # optional: verify only the named queries
+    wanted = set(sys.argv[1:])
+    missing = wanted - qs.keys()
+    assert not missing, f"unknown queries: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in wanted}
 fails = 0
 for name, fn in qs.items():
     try:

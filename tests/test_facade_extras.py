@@ -184,6 +184,46 @@ def test_default_prompts_thread_through(spark):
     assert ext.last_prompt == prompts.PROCEDURAL_EXTRACTION_SYSTEM
 
 
+def test_prompt_aware_callable_never_double_called():
+    # ADVICE r8: a TypeError raised INSIDE a prompt-aware callable's
+    # body must propagate, not trigger the bare retry — a side-effecting
+    # extractor (e.g. a billed LLM call) may not run twice
+    from grafeo_memory_spark.manager import _call_with_optional_prompt
+
+    calls = []
+
+    def aware(text, *, prompt):
+        calls.append(text)
+        raise TypeError("bug inside the callable body")
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="bug inside"):
+        _call_with_optional_prompt(aware, "t", prompt="P")
+    assert calls == ["t"]
+
+
+def test_unintrospectable_prompt_unaware_gets_bare_retry():
+    # the bare retry exists ONLY for callables whose signature cannot
+    # be inspected (builtins / C callables) and that turn out
+    # prompt-unaware
+    from grafeo_memory_spark.manager import _call_with_optional_prompt
+
+    class Weird:
+        calls = 0
+
+        @property
+        def __signature__(self):
+            raise ValueError("no signature")
+
+        def __call__(self, text):
+            Weird.calls += 1
+            return ["ok"]
+
+    assert _call_with_optional_prompt(Weird(), "t", prompt="P") == ["ok"]
+    assert Weird.calls == 1  # the prompt=... attempt fails BEFORE entry
+
+
 def test_default_prompt_selection_table():
     from grafeo_memory_spark import prompts
 

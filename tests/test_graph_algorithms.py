@@ -158,6 +158,96 @@ def test_betweenness_driver_matches_distributed(spark):
             assert fast[k] == pytest.approx(slow[k], abs=1e-9), (trial, k)
 
 
+def test_pagerank_driver_matches_distributed(spark):
+    """The gated numpy fast path (r8) must agree with the distributed
+    power-iteration loop — randomized parity on seeded graphs,
+    including a dangling-node trial (the parity test the r8 docstring
+    promised; VERDICT r8 item 1)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 16 + 8 * trial
+        pairs = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(3 * n)
+        }
+        pairs = sorted((a, b) for a, b in pairs if a != b)
+        if trial >= 1:
+            # force dangling nodes: strip all out-edges of two ids
+            dangle = {0, 1}
+            pairs = [(a, b) for a, b in pairs if a not in dangle]
+            pairs += [(n - 1, d) for d in dangle]  # keep them reachable
+        edges = _edges(spark, pairs)
+        fast = {
+            r["node_id"]: r["pagerank"]
+            for r in pagerank(edges, max_iter=40).collect()
+        }
+        slow = {
+            r["node_id"]: r["pagerank"]
+            for r in pagerank(
+                edges, max_iter=40, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast.keys() == slow.keys(), trial
+        assert sum(fast.values()) == pytest.approx(1.0, abs=1e-6)
+        for k in fast:
+            assert fast[k] == pytest.approx(slow[k], abs=1e-9), (trial, k)
+
+
+def test_lpa_driver_matches_distributed(spark):
+    """The gated numpy LPA fast path (r9) is deterministic integer
+    arithmetic on both sides, so driver ≡ distributed must hold
+    EXACTLY — randomized parity on seeded graphs, shipped with the fast
+    path per VERDICT r8 item 4."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 18 + 10 * trial
+        pairs = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)
+        }
+        pairs = sorted((a, b) for a, b in pairs if a != b)
+        if trial == 2:
+            pairs.append((5, 5))  # self-loop parity
+        edges = _edges(spark, pairs)
+        fast = {
+            r["node_id"]: r["community"]
+            for r in label_propagation(edges, max_iter=8).collect()
+        }
+        slow = {
+            r["node_id"]: r["community"]
+            for r in label_propagation(
+                edges, max_iter=8, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast == slow, trial
+
+
+def test_betweenness_duplicate_sources_dedup(spark):
+    """Duplicate ids in `sources` must not double-count on either path
+    (ADVICE r8): both paths dedup, so [2, 2, 1] ≡ [1, 2]."""
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    for thresh in (1_000_000, 0):
+        dup = {
+            r["node_id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                _edges(spark, pairs),
+                sources=[2, 2, 1, 2],
+                driver_edge_threshold=thresh,
+            ).collect()
+        }
+        uniq = {
+            r["node_id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                _edges(spark, pairs),
+                sources=[1, 2],
+                driver_edge_threshold=thresh,
+            ).collect()
+        }
+        assert dup == pytest.approx(uniq), thresh
+
+
 def test_louvain_label_fixture_is_fresh(spark):
     """The committed fixtures/sf0.01/louvain_labels.parquet must match
     a fresh deterministic run — the driver's structural oracle reads
