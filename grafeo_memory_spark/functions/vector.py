@@ -87,8 +87,24 @@ def cosine_to_query(emb: Column | str, query_vec: Sequence[float]) -> Column:
 
     The query vector is folded into the plan as a literal array (constant
     for every task — the Catalyst equivalent of a broadcast variable).
+    The query norm is computed driver-side (r9): Catalyst does not
+    constant-fold an ``aggregate`` over a literal array, so the naive
+    form re-folds the query norm on EVERY row of the scan — a third of
+    the per-row fold work for nothing. Bit-identical to
+    ``cosine_similarity(emb, lit(query_vec))``: the Python loop below
+    is the same left-fold acc+x*x then sqrt over the same doubles
+    (IEEE 754 ops are exactly specified), and the expression keeps the
+    exact ``coalesce(dot/nullif(norm_emb*norm_q, 0), 0)`` shape.
     """
-    return cosine_similarity(emb, _vec_lit(query_vec))
+    import math
+
+    acc = 0.0
+    for x in query_vec:  # same left-fold order as l2_norm's aggregate
+        acc = acc + float(x) * float(x)
+    qn = math.sqrt(acc)
+    emb = F.col(emb) if isinstance(emb, str) else emb
+    denom = F.nullif(l2_norm(emb) * F.lit(qn), F.lit(0.0))
+    return F.coalesce(dot(emb, _vec_lit(query_vec)) / denom, F.lit(0.0))
 
 
 def similarity_to_distance(sim: Column) -> Column:

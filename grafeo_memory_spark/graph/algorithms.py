@@ -194,6 +194,14 @@ def pagerank(
     dangling = n_dangling / float(n)  # uniform init: each rank is 1/n
     base = (1.0 - damping) / n
 
+    # fixed-iteration mode on a dangling-free graph needs NO per-round
+    # driver job at all: delta is only read by the tol early-exit and
+    # the dangling mass stays 0.0 forever, so the combined stats
+    # aggregation below — one cluster-wide collect per iteration — is
+    # pure waste. Symmetrized graphs are always dangling-free, so this
+    # is the common case for undirected analytics at scale (r9).
+    needs_stats = tol > 0.0 or n_dangling > 0
+
     for _ in range(max_iter):
         contrib = (
             links.join(
@@ -229,16 +237,19 @@ def pagerank(
             # folding materialization into its own two-stage agg
             .localCheckpoint()
         )
-        delta, dangling = (
-            new_ranks.agg(
-                F.sum(F.abs(F.col("pagerank") - F.col("_pr_old"))),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))),
-                    F.lit(0.0),
-                ),
+        if needs_stats:
+            delta, dangling = (
+                new_ranks.agg(
+                    F.sum(F.abs(F.col("pagerank") - F.col("_pr_old"))),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))),
+                        F.lit(0.0),
+                    ),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
+        else:
+            delta = None
         ranks = new_ranks.select("node_id", "is_dangling", "pagerank")
         if delta is not None and delta < tol:
             break

@@ -314,22 +314,40 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) ≤ 3 verify), score = the Hamming distance. The
     deterministic planes/hashes mean both oracles reproduce the *same*
     approximation — blocking is verified, not just sampled."""
+    from grafeo_memory_spark.functions.vector import dot, l2_norm
+
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # row norm computed once per row and carried through the bucket
+    # join (r9, same fold-budget move as semdedup): the pair predicate
+    # below reproduces cosine_similarity's exact expression from the
+    # carried norms — bit-identical, one fold per pair instead of three
     sig = emb.select(
-        "vec_id", "embedding", hyperplane_signature("embedding", PLANES).alias("bucket")
+        "vec_id",
+        "embedding",
+        hyperplane_signature("embedding", PLANES).alias("bucket"),
+        l2_norm("embedding").alias("v_norm"),
     )
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("v_norm").alias("n_a"),
+        "bucket",
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("v_norm").alias("n_b"),
+        "bucket",
     )
-    from grafeo_memory_spark.functions.vector import cosine_similarity
-
+    pair_cos = F.coalesce(
+        dot(F.col("e_a"), F.col("e_b"))
+        / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+        F.lit(0.0),
+    )
     pairs = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine_similarity("e_a", "e_b"))
+        .withColumn("cos_raw", pair_cos)
         .where(F.col("cos_raw") >= 0.2)
     )
     emb_rows = pairs.select(

@@ -122,6 +122,59 @@ def main() -> None:
         df.withColumn("key", content_hash(F.col("text"))), "key", bloom
     )
 
+    # embedding-based ops (r9): ivf_assign is the map-only codebook
+    # argmax (fold-budget rework r9 — norm projected once per row,
+    # centroid norms driver-side literals), semdedup the full
+    # cluster→pair→CC→keep pipeline with the adaptive max(8, n//128)
+    # codebook derived per input, exactly like the driver query
+    from grafeo_memory_spark.pipeline.ann import ivf_assign
+    from grafeo_memory_spark.pipeline.dedup import semdedup
+
+    emb_base = spread(load_table(spark, SF_DIR, "embeddings")).localCheckpoint()
+
+    def replicate_emb(times: int):
+        parts = [
+            emb_base.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                # rotate one coordinate per replica so near-dup pairs
+                # scale with the data instead of collapsing across copies
+                F.concat(
+                    F.slice(F.col("embedding"), i + 1, 10_000),
+                    F.slice(F.col("embedding"), 1, i),
+                ).alias("embedding"),
+                "label",
+            )
+            for i in range(times)
+        ]
+        out_ = parts[0]
+        for p in parts[1:]:
+            out_ = out_.unionByName(p)
+        return out_.localCheckpoint()
+
+    def _centroids(df):
+        n_rows = df.count()
+        k_c = min(max(8, n_rows // 128), 100_000)
+        return [
+            (i, [float(x) for x in r[0]])
+            for i, r in enumerate(
+                df.orderBy("vec_id").limit(k_c).select("embedding").collect()
+            )
+        ]
+
+    def _ivf_assign(df):
+        return ivf_assign(
+            df, _centroids(df), vec_col="embedding", id_col="vec_id",
+            with_sim=True,
+        )
+
+    def _semdedup(df):
+        return semdedup(
+            df, _centroids(df), eps=0.35, vec_col="embedding",
+            id_col="vec_id",
+        )
+
+    emb_ops = {"ivf_assign": _ivf_assign, "semdedup": _semdedup}
+
     # events-based ops: replicate with disjoint user ids so sessions and
     # as-of matches scale with the data instead of densifying one key
     from grafeo_memory_spark.operators.asof import asof_join
@@ -192,6 +245,7 @@ def main() -> None:
     large = replicate(n)
     ev_small, ev_large = replicate_events(1), replicate_events(n)
     edge_small, edge_large = replicate_edges(1), replicate_edges(n)
+    emb_small, emb_large = replicate_emb(1), replicate_emb(n)
     # warm both inputs and the codegen paths
     _execute(small)
     _execute(large)
@@ -200,6 +254,7 @@ def main() -> None:
         [(name, fn, small, large) for name, fn in ops.items()]
         + [(name, fn, ev_small, ev_large) for name, fn in event_ops.items()]
         + [(name, fn, edge_small, edge_large) for name, fn in edge_ops.items()]
+        + [(name, fn, emb_small, emb_large) for name, fn in emb_ops.items()]
     )
 
     out: dict[str, dict] = {}

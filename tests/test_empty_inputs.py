@@ -29,6 +29,13 @@ def test_graph_algorithms_on_empty_graph(spark):
     assert pagerank(edges, max_iter=3).count() == 0
     assert label_propagation(edges, max_iter=3).count() == 0
     assert betweenness_centrality(edges).count() == 0
+    # and the forced-distributed loops (driver_edge_threshold=0)
+    assert pagerank(edges, max_iter=3, driver_edge_threshold=0).count() == 0
+    assert (
+        label_propagation(edges, max_iter=3, driver_edge_threshold=0).count()
+        == 0
+    )
+    assert betweenness_centrality(edges, driver_edge_threshold=0).count() == 0
 
 
 def test_traversals_on_empty_store(spark):

@@ -193,6 +193,25 @@ def test_pagerank_driver_matches_distributed(spark):
         for k in fast:
             assert fast[k] == pytest.approx(slow[k], abs=1e-9), (trial, k)
 
+    # fixed-iteration mode on a dangling-free graph: the distributed
+    # loop skips the per-round stats job entirely (r9) — results must
+    # still match the numpy path exactly
+    cyc = [(i, (i + 1) % 10) for i in range(10)] + [(3, 7), (8, 2)]
+    edges = _edges(spark, cyc)
+    fast = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(edges, max_iter=15, tol=0.0).collect()
+    }
+    slow = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(
+            edges, max_iter=15, tol=0.0, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert fast[k] == pytest.approx(slow[k], abs=1e-9), k
+
 
 def test_lpa_driver_matches_distributed(spark):
     """The gated numpy LPA fast path (r9) is deterministic integer
