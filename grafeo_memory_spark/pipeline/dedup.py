@@ -31,6 +31,7 @@ __all__ = [
     "normalize_text",
     "content_hash",
     "exact_dedup",
+    "exact_dedup_ids",
     "word_shingles",
     "shingle_hash",
     "minhash_signature",
@@ -59,15 +60,34 @@ def content_hash(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup keeping the smallest id per content group. One
-    shuffle on the hash; no global window."""
-    hashed = df.withColumn("_h", content_hash(text_col))
-    keep = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+def exact_dedup_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Survivor ids of exact dedup (smallest id per content group), as
+    a single-column frame. ONE pass over the text (normalize + md5,
+    projected to two columns so the parquet scan prunes) and one
+    map-side-combined shuffle of (hash, id) pairs — at corpus scale
+    this is the whole cost of exact dedup; callers that only need the
+    ids (e.g. a `kept` membership flag) should use this directly and
+    skip the semi-join entirely."""
     return (
-        hashed.join(keep, "_h")
-        .where(F.col(id_col) == F.col("_keep"))
-        .drop("_h", "_keep")
+        df.select(content_hash(text_col).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keeping the smallest id per content group.
+
+    Shape (reworked r9): hash+min once via :func:`exact_dedup_ids`,
+    then ONE semi-join on the id key. The former formulation joined the
+    full hashed frame against the per-hash min on the md5 key — which
+    recomputed normalize+md5 over the corpus a second time on the probe
+    side and shuffled every text payload keyed by a 32-char hash. Now
+    the text is scanned once, the build side is bare ids (AQE
+    broadcasts it when small), and the probe shuffle key is the id."""
+    return df.join(
+        exact_dedup_ids(df, text_col, id_col), id_col, "left_semi"
     )
 
 

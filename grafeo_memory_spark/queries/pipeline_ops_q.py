@@ -19,6 +19,7 @@ from grafeo_memory_spark.pipeline.ann import (
 from grafeo_memory_spark.pipeline.dedup import (
     semdedup,
     exact_dedup,
+    exact_dedup_ids,
     jaccard_similarity_join,
     minhash_signature,
     simhash16,
@@ -553,7 +554,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    # ids-only form (r9): the `kept` flag needs membership, not the
+    # surviving rows — one text scan + one (hash, id) shuffle, no
+    # semi-join back against the corpus
+    survivors = exact_dedup_ids(docs, "text", "doc_id")
     bf = bloom_build(
         docs.where(F.col("doc_id") % 2 == 0),
         "text",
