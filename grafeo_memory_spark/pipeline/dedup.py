@@ -184,14 +184,31 @@ def near_dup_pairs_minhash(
     )
     a = bounded.select("band", "band_hash", F.col("id").alias("id_a"))
     b = bounded.select("band", "band_hash", F.col("id").alias("id_b"))
+    # materialize the candidate set once: it feeds the member-id
+    # restriction below AND the verify joins, and re-deriving the band
+    # self-join twice would double the banding work
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    ).localCheckpoint(eager=True)
+    # shingle ONLY candidate members (r9): near-dup candidates are a
+    # small fraction of the corpus by construction (banding already
+    # pruned everything else), so semi-joining df down to member ids
+    # BEFORE the word_shingles projection means the normalize+md5
+    # shingle pass and the verify-side shuffle touch candidate docs
+    # only — at corpus scale the verify stage goes from a second full
+    # text scan to a lookup of the candidate slice
+    members = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(members, "id", "left_semi")
+        .select("id", word_shingles(text_col, n).alias("sh"))
     )
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
