@@ -27,6 +27,21 @@ def test_registry_at_cap():
     assert set(ORACLES) == set(QUERIES)
 
 
+def test_bench_extras_outside_correctness_window():
+    """r9: the distributed scale-shape rows are bench-only — they must
+    exist (so BENCH_r{N} keeps measuring the 100-TB loop shapes), never
+    leak into the ≤50-entry correctness registry, and never shadow a
+    registered query name."""
+    from grafeo_memory_spark.queries import BENCH_EXTRAS
+
+    assert set(BENCH_EXTRAS) == {
+        "pagerank_distributed",
+        "betweenness_distributed",
+        "lpa_distributed",
+    }
+    assert not set(BENCH_EXTRAS) & set(QUERIES)
+
+
 @pytest.mark.parametrize(
     "merged,survivor",
     [
