@@ -25,7 +25,48 @@ __all__ = [
     "mixture_fractions",
     "mixture_sample",
     "pack_greedy",
+    "shuffle_rows",
 ]
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training order (r9): an epoch's
+    sample order must be uniform, reproducible across reruns, and
+    independent of the input's physical layout. The draw is
+    ``md5(seed || ':' || id)`` — the repo's portable hash convention,
+    so the order is engine-replayable — and rows sort by (draw, id),
+    the id tie-break making the permutation total even under md5
+    collisions.
+
+    Scale shape: ONE range-partitioned sort (Spark samples range
+    boundaries, then sorts per partition) — the cost of any
+    write-ordered-by-key pass; files written from the result preserve
+    the shuffled order for a sequential trainer, and a new ``seed``
+    reshuffles without touching anything upstream. With ``num_shards``
+    an additional ``shard`` column (uniform, deterministic, derived
+    from the same draw) supports ``partitionBy('shard')`` writes for
+    data-parallel readers: shard membership is seed-stable, so shard k
+    of seed s is the same set on every rerun.
+    """
+    draw = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.orderBy(draw.asc(), F.col(id_col).asc())
+    if num_shards:
+        out = out.withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring(draw, 1, 15), 16, 10).cast("long"),
+                F.lit(num_shards),
+            ).cast("int"),
+        )
+    return out
 
 
 def stratified_sample(

@@ -265,3 +265,71 @@ class TestWeightedSamplePerKey:
             ).collect()
             heavy += sum(1 for r in sel if r["id"] < 100)
         assert heavy > 150  # ≥75% of 200 picks from the heavy half
+
+
+class TestShuffleRows:
+    def test_deterministic_and_layout_independent(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import shuffle_rows
+
+        rows = [(i, f"d{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        a = [r["id"] for r in shuffle_rows(df, "id", seed=7).collect()]
+        b = [r["id"] for r in shuffle_rows(df, "id", seed=7).collect()]
+        assert a == b  # same seed → identical order
+        # physical layout must not matter: repartitioned input, same order
+        c = [
+            r["id"]
+            for r in shuffle_rows(df.repartition(13), "id", seed=7).collect()
+        ]
+        assert a == c
+        assert a != sorted(a)  # actually shuffled
+
+    def test_seed_changes_order(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import shuffle_rows
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "id long, text string"
+        )
+        a = [r["id"] for r in shuffle_rows(df, "id", seed=1).collect()]
+        b = [r["id"] for r in shuffle_rows(df, "id", seed=2).collect()]
+        assert a != b
+        assert sorted(a) == sorted(b)  # permutations of the same set
+
+    def test_shards_uniform_and_seed_stable(self, spark):
+        from grafeo_memory_spark.pipeline.sampling import shuffle_rows
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(400)], "id long, text string"
+        )
+        out = shuffle_rows(df, "id", seed=3, num_shards=4)
+        sizes = {
+            r["shard"]: r["n"]
+            for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3}
+        assert all(50 <= n <= 150 for n in sizes.values())  # roughly uniform
+        again = shuffle_rows(df, "id", seed=3, num_shards=4)
+        assert sorted(
+            (r["id"], r["shard"]) for r in out.collect()
+        ) == sorted((r["id"], r["shard"]) for r in again.collect())
+
+    def test_oracle_replay_md5_order(self, spark, duck):
+        """The draw is the repo's portable md5 convention, so DuckDB
+        replays the exact permutation."""
+        from grafeo_memory_spark.pipeline.sampling import shuffle_rows
+
+        rows = [(i, f"t{i % 7}") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = [r["id"] for r in shuffle_rows(df, "id", seed=11).collect()]
+        duck.execute(
+            "CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, 't{i % 7}')" for i in range(50))
+            + ") v(id, text)"
+        )
+        want = [
+            r[0]
+            for r in duck.execute(
+                "SELECT id FROM t ORDER BY md5('11:' || id::VARCHAR), id"
+            ).fetchall()
+        ]
+        assert got == want
