@@ -82,6 +82,44 @@ class TestJoinStrategies:
         # HashAggregate around a single hashpartitioning exchange), plus
         # AQE wrappers; never a join-driven second shuffle
         assert plan.count("Exchange hashpartitioning") <= 2
+        # r9: normalize+md5 runs ONCE over the corpus — the pre-r9
+        # md5-keyed self-join hashed the text a second time on the
+        # probe side (a full extra text scan at corpus scale)
+        assert plan.count("md5(") == 1
+
+    def test_ivf_assign_map_only_single_row_norm(self, spark):
+        """The codebook argmax is shuffle-free, and the per-row norm is
+        computed exactly once (r9): centroid norms ride the plan as
+        driver-side literals, so the only SQRT in the plan is the one
+        row-norm fold — the pre-r9 shape re-folded both norms for every
+        centroid (3× the fold work at any codebook size)."""
+        from grafeo_memory_spark.pipeline.ann import ivf_assign
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = [
+            (i, [float(x) for x in r[0]])
+            for i, r in enumerate(
+                emb.limit(4).select("embedding").collect()
+            )
+        ]
+        plan = _plan(
+            ivf_assign(
+                emb, cents, vec_col="embedding", id_col="vec_id",
+                with_sim=True,
+            )
+        )
+        assert "Exchange" not in plan
+        assert plan.count("SQRT(") == 1
+
+    def test_shuffle_rows_is_one_range_sort(self, spark):
+        """The epoch shuffle is exactly one range-partitioned global
+        sort — no hash shuffle, no window (r9)."""
+        from grafeo_memory_spark.pipeline.sampling import shuffle_rows
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(shuffle_rows(docs, "doc_id", seed=5))
+        assert plan.count("Exchange rangepartitioning") == 1
+        assert "Exchange hashpartitioning" not in plan
 
 
 class TestCorpusOpPlans:
