@@ -295,8 +295,11 @@ def connected_components(
     quotient pulls elsewhere. Above the threshold (or with the gate
     disabled via ``driver_edge_threshold=0``) the distributed loop
     below runs unchanged — that is the 100-TB path, and the two paths
-    agree bit-for-bit. The gate costs one count() — callers checkpoint
-    the pair set first, so it reads materialized blocks.
+    agree bit-for-bit. The gate probes ``limit(threshold+1).count()``
+    (r9, same bounded probe as the graph-algorithm gates): callers that
+    checkpoint the pair set first read materialized blocks either way,
+    and callers that don't no longer execute the full pair plan once
+    just to decide the path.
 
     Scale shape: each round is a neighbor-min join + agg PLUS a
     pointer-jumping join (``component[component[x]]`` — the hash-to-min
@@ -311,7 +314,11 @@ def connected_components(
     never undershoot the component's true min id (the fixpoint the
     recursive-CTE oracle checks is unchanged).
     """
-    if driver_edge_threshold and edges_sym.count() <= driver_edge_threshold:
+    if (
+        driver_edge_threshold
+        and edges_sym.limit(driver_edge_threshold + 1).count()
+        <= driver_edge_threshold
+    ):
         parent: dict = {}
 
         def find(x):
