@@ -965,8 +965,186 @@ def betweenness_centrality(
     return out
 
 
+def _und_np(raw):
+    """Numpy twin of :func:`_und_simple`: compact the raw (rows, 2) id
+    array into the loop-free undirected simple edge set. Returns
+    ``(node_ids, src, dst, deg)`` where ``src``/``dst`` are compact
+    indices into ``node_ids`` holding each undirected edge in BOTH
+    directions exactly once, and ``deg`` is the undirected degree."""
+    import numpy as np
+
+    if raw.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    both = np.concatenate([raw, raw[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    if both.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    node_ids = np.unique(both)
+    n = node_ids.size
+    src = np.searchsorted(node_ids, both[:, 0]).astype(np.int64)
+    dst = np.searchsorted(node_ids, both[:, 1]).astype(np.int64)
+    key = np.unique(src * n + dst)  # n^2 < 2^63 for any collectable graph
+    src, dst = key // n, key % n
+    deg = np.bincount(src, minlength=n)
+    return node_ids, src, dst, deg
+
+
+#: pair-expansion budget for the numpy wedge loops: above this many
+#: wedges the driver path would stop being "small-graph" regardless of
+#: edge count, so the gate falls through to the distributed plan.
+_WEDGE_BUDGET = 250_000_000
+
+
+def _triangle_driver(spark, raw_np) -> "DataFrame | None":
+    """Driver fast path of :func:`triangle_count` — the identical
+    degree-ordered orientation, with the wedge loop vectorized per
+    neighbor offset (nodes sorted by oriented out-degree descending, so
+    offset ``k`` touches only the prefix of groups longer than ``k``;
+    total work stays O(#wedges)). Triangle counts are exact integers,
+    so driver ≡ distributed bit-for-bit (parity pinned in tests).
+    Returns None when the wedge budget is exceeded (caller falls back
+    to the distributed plan, which spreads the same wedge set over the
+    cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    node_ids, src, dst, deg = _und_np(raw_np)
+    n = node_ids.size
+    empty = lambda: spark.createDataFrame(  # noqa: E731
+        [], "node_id long, triangles long"
+    )
+    if n == 0:
+        return empty()
+    # orient each undirected edge from its lower-(deg, id) endpoint:
+    # key = deg*n + id orders exactly like the struct(deg, id) compare
+    ku, kv = deg[src] * n + src, deg[dst] * n + dst
+    f = ku < kv
+    u, v = src[f], dst[f]
+    if u.size == 0:
+        return empty()
+    odeg = np.bincount(u, minlength=n)
+    if int(np.sum(odeg * (odeg - 1) // 2)) > _WEDGE_BUDGET:
+        return None
+    # group oriented out-neighbors by node, longest groups first
+    rank = np.empty(n, dtype=np.int64)
+    node_order = np.lexsort((np.arange(n), -odeg))
+    rank[node_order] = np.arange(n)
+    eorder = np.lexsort((v, rank[u]))
+    gv = v[eorder]
+    cnt = odeg[node_order]  # descending
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    grp = np.repeat(np.arange(n), cnt)
+    pos = np.arange(gv.size) - starts[grp]
+    ekey = np.sort(u * n + v)  # oriented-edge membership set
+    tri = np.zeros(n, dtype=np.int64)
+    neg_cnt = -cnt
+    for k in range(1, int(cnt[0]) if n else 0):
+        m = np.searchsorted(neg_cnt, -k)  # groups with cnt > k
+        pmax = starts[m]
+        sel = np.nonzero(pos[:pmax] + k < cnt[grp[:pmax]])[0]
+        if sel.size == 0:
+            continue
+        x, y = gv[sel], gv[sel + k]
+        kx, ky = deg[x] * n + x, deg[y] * n + y
+        lo = np.where(kx < ky, x, y)
+        hi = np.where(kx < ky, y, x)
+        pkey = lo * n + hi
+        idx = np.searchsorted(ekey, pkey)
+        hit = ekey[np.minimum(idx, ekey.size - 1)] == pkey
+        if hit.any():
+            centers = node_order[grp[sel[hit]]]
+            tri += np.bincount(centers, minlength=n)
+            tri += np.bincount(lo[hit], minlength=n)
+            tri += np.bincount(hi[hit], minlength=n)
+    mask = tri > 0
+    return spark.createDataFrame(
+        pd.DataFrame({"node_id": node_ids[mask], "triangles": tri[mask]}),
+        "node_id long, triangles long",
+    )
+
+
+def _adamic_adar_driver(
+    spark, raw_np, top_k, max_hub_degree
+) -> "DataFrame | None":
+    """Driver fast path of :func:`adamic_adar` — same wedge expansion
+    through each center z (full neighborhoods, weight 1/ln(deg z), hub
+    cap applied to centers against the FULL degree, exactly like the
+    distributed ctr filter), pair sums via unique+bincount, adjacency
+    anti-join via sorted-key membership. Float sums reassociate, so
+    parity with the distributed plan holds to 1e-9 (pinned in tests).
+    Returns None when the wedge budget is exceeded."""
+    import numpy as np
+    import pandas as pd
+
+    node_ids, src, dst, deg = _und_np(raw_np)
+    n = node_ids.size
+    schema = "node_a long, node_b long, aa_score double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    keep = np.ones(src.size, dtype=bool)
+    if max_hub_degree is not None:
+        keep = deg[src] <= max_hub_degree
+    u, v = src[keep], dst[keep]
+    cdeg = np.bincount(u, minlength=n)  # per-center kept neighbor count
+    if int(np.sum(cdeg * (cdeg - 1) // 2)) > _WEDGE_BUDGET:
+        return None
+    rank = np.empty(n, dtype=np.int64)
+    node_order = np.lexsort((np.arange(n), -cdeg))
+    rank[node_order] = np.arange(n)
+    eorder = np.lexsort((v, rank[u]))
+    gv = v[eorder]
+    cnt = cdeg[node_order]
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    grp = np.repeat(np.arange(n), cnt)
+    pos = np.arange(gv.size) - starts[grp]
+    neg_cnt = -cnt
+    keys, wts = [], []
+    for k in range(1, int(cnt[0]) if cnt.size else 0):
+        m = np.searchsorted(neg_cnt, -k)
+        pmax = starts[m]
+        sel = np.nonzero(pos[:pmax] + k < cnt[grp[:pmax]])[0]
+        if sel.size == 0:
+            continue
+        # neighbors are id-sorted within each group, so gv[sel] <
+        # gv[sel+k] — pairs come out already (node_a < node_b)
+        keys.append(gv[sel] * n + gv[sel + k])
+        wts.append(1.0 / np.log(deg[node_order[grp[sel]]].astype(np.float64)))
+    if not keys:
+        return spark.createDataFrame([], schema)
+    allk = np.concatenate(keys)
+    allw = np.concatenate(wts)
+    uk, inv = np.unique(allk, return_inverse=True)
+    sums = np.bincount(inv, weights=allw)
+    # drop adjacent pairs (membership in the canonical a<b edge set)
+    canon = np.sort(src[src < dst] * n + dst[src < dst])
+    idx = np.searchsorted(canon, uk)
+    absent = canon[np.minimum(idx, canon.size - 1)] != uk if canon.size else (
+        np.ones(uk.size, dtype=bool)
+    )
+    uk, sums = uk[absent], sums[absent]
+    a, b = uk // n, uk % n
+    if top_k is not None and uk.size > top_k:
+        order = np.lexsort((b, a, -sums))[:top_k]
+        a, b, sums = a[order], b[order], sums[order]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node_a": node_ids[a],
+                "node_b": node_ids[b],
+                "aa_score": sums,
+            }
+        ),
+        schema,
+    )
+
+
 def triangle_count(
-    edges: DataFrame, *, symmetrized: bool = False
+    edges: DataFrame,
+    *,
+    symmetrized: bool = False,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph;
     returns (node_id, triangles) for every node in at least one
@@ -983,7 +1161,25 @@ def triangle_count(
     probe is an equi-join against the oriented edge list. Triangle sets
     are orientation-invariant, so the DuckDB oracle may replay the
     simpler id-ordered SQL and must agree bit-for-bit.
+
+    Size-gated like the other graph algorithms (r9): at most
+    ``driver_edge_threshold`` raw edge rows are collected and counted
+    in numpy (`_triangle_driver` — same orientation, same integer
+    counts, parity pinned in tests), with a wedge budget so a collected
+    graph whose expansion is still huge falls back to the distributed
+    plan. ``driver_edge_threshold=0`` forces the distributed path.
     """
+    if (
+        driver_edge_threshold
+        and edges.limit(driver_edge_threshold + 1).count()
+        <= driver_edge_threshold
+    ):
+        import numpy as np
+
+        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
+        out = _triangle_driver(edges.sparkSession, raw)
+        if out is not None:
+            return out
     und = _und_simple(edges, symmetrized)
     deg = und.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("d"))
     canon = und.where(F.col("src") < F.col("dst"))
@@ -1042,6 +1238,7 @@ def adamic_adar(
     max_hub_degree: int | None = None,
     *,
     symmetrized: bool = False,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Adamic-Adar link prediction over the undirected simple graph:
     for every NON-adjacent pair (a, b), score
@@ -1058,7 +1255,28 @@ def adamic_adar(
     degrees, one wedge self-join keyed on z, one pair aggregation, and
     an anti-join against the edge list so only predicted (absent) links
     emit.
+
+    Size-gated like the other graph algorithms (r9): at most
+    ``driver_edge_threshold`` raw edge rows are collected and scored in
+    numpy (`_adamic_adar_driver` — identical wedge expansion + hub-cap
+    semantics; float sums reassociate, parity pinned to 1e-9 in
+    tests), with a wedge budget so a hub-heavy collected graph still
+    falls back to the distributed plan. ``driver_edge_threshold=0``
+    forces the distributed path.
     """
+    if (
+        driver_edge_threshold
+        and edges.limit(driver_edge_threshold + 1).count()
+        <= driver_edge_threshold
+    ):
+        import numpy as np
+
+        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
+        out = _adamic_adar_driver(
+            edges.sparkSession, raw, top_k, max_hub_degree
+        )
+        if out is not None:
+            return out
     und = _und_simple(edges, symmetrized)
     deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("d"))
     ctr = und.select(F.col("src").alias("z"), F.col("dst").alias("x")).join(

@@ -239,7 +239,13 @@ def main() -> None:
         return out_.localCheckpoint()
 
     event_ops = {"sessionize": _sessionize, "asof_join": _asof}
-    edge_ops = {"triangle_count": triangle_count}
+    # force the distributed plan: the probe measures the 100-TB wedge
+    # shape, not the r9 gated numpy fast path
+    edge_ops = {
+        "triangle_count": lambda e: triangle_count(
+            e, driver_edge_threshold=0
+        )
+    }
 
     small = replicate(1)
     large = replicate(n)

@@ -345,6 +345,89 @@ def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
         [(10, 11), (10, 12), (10, 13)], "src long, dst long"
     )
     assert adamic_adar(edges, max_hub_degree=2).count() == 0
+    assert (
+        adamic_adar(
+            edges, max_hub_degree=2, driver_edge_threshold=0
+        ).count()
+        == 0
+    )
+
+
+def test_triangle_driver_matches_distributed(spark):
+    """The gated numpy fast path (r9) must agree with the distributed
+    wedge joins EXACTLY — triangle counts are integers on both sides.
+    Randomized parity on seeded graphs with duplicates, reversals, and
+    self-loops, shipped with the fast path per the r8 G1 lesson."""
+    import random
+
+    from grafeo_memory_spark.graph.algorithms import triangle_count
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = 20 + 10 * trial
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(4 * n)
+        ]
+        if trial == 1:
+            pairs += [(p[1], p[0]) for p in pairs[:10]]  # reversals
+            pairs.append((3, 3))  # self-loop
+        edges = _edges(spark, pairs)
+        fast = {
+            (r["node_id"], r["triangles"])
+            for r in triangle_count(edges).collect()
+        }
+        slow = {
+            (r["node_id"], r["triangles"])
+            for r in triangle_count(
+                edges, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast == slow, trial
+
+
+def test_adamic_adar_driver_matches_distributed(spark):
+    """The gated numpy fast path (r9) must agree with the distributed
+    wedge expansion — same pair set, scores to 1e-9 (float sums
+    reassociate between the two paths), hub cap included."""
+    import random
+
+    from grafeo_memory_spark.graph.algorithms import adamic_adar
+
+    rng = random.Random(37)
+    for trial in range(3):
+        n = 18 + 8 * trial
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(3 * n)
+        ]
+        hub = 4 if trial == 2 else None
+        edges = _edges(spark, pairs)
+        fast = {
+            (r["node_a"], r["node_b"]): r["aa_score"]
+            for r in adamic_adar(edges, max_hub_degree=hub).collect()
+        }
+        slow = {
+            (r["node_a"], r["node_b"]): r["aa_score"]
+            for r in adamic_adar(
+                edges, max_hub_degree=hub, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast.keys() == slow.keys(), trial
+        for key in fast:
+            assert fast[key] == pytest.approx(slow[key], abs=1e-9), (
+                trial,
+                key,
+            )
+    # top_k truncation parity on a fixed graph with distinct scores
+    tri_pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3), (2, 5)]
+    edges = _edges(spark, tri_pairs)
+    fast = [tuple(r) for r in adamic_adar(edges, top_k=3).collect()]
+    slow = [
+        tuple(r)
+        for r in adamic_adar(
+            edges, top_k=3, driver_edge_threshold=0
+        ).collect()
+    ]
+    assert sorted(fast) == pytest.approx(sorted(slow))
 
 
 def test_k_core_peels_to_fixpoint(spark):
