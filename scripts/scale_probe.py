@@ -239,12 +239,17 @@ def main() -> None:
         return out_.localCheckpoint()
 
     event_ops = {"sessionize": _sessionize, "asof_join": _asof}
-    # force the distributed plan: the probe measures the 100-TB wedge
-    # shape, not the r9 gated numpy fast path
+    # force the distributed plans: the probe measures the 100-TB wedge
+    # shapes, not the r9 gated numpy fast paths
+    from grafeo_memory_spark.graph.algorithms import adamic_adar
+
     edge_ops = {
         "triangle_count": lambda e: triangle_count(
             e, driver_edge_threshold=0
-        )
+        ),
+        "adamic_adar": lambda e: adamic_adar(
+            e, top_k=20, driver_edge_threshold=0
+        ),
     }
 
     small = replicate(1)
