@@ -589,17 +589,20 @@ def louvain(
     """
     und = _undirected(edges).localCheckpoint()
     two_m = float(und.count())
-    labels = (
-        und.select(F.col("src").alias("node_id"))
-        .distinct()
-        .withColumn("community", F.col("node_id"))
-        .localCheckpoint()
-    )
     if two_m == 0 or max_iter <= 0:
-        return labels
+        return (
+            und.select(F.col("src").alias("node_id"))
+            .distinct()
+            .withColumn("community", F.col("node_id"))
+        )
     m = two_m / 2.0
     budget = max_iter
-    n_comm = labels.count()
+    # identity labels stay implicit until the first coarsening round:
+    # the common straight-to-driver path (quotient already under the
+    # collect threshold) pays ONE countDistinct aggregate instead of a
+    # distinct+checkpoint+count and two identity self-joins (r9)
+    n_comm = int(und.select(F.count_distinct("src").alias("n")).first()["n"])
+    labels: DataFrame | None = None
     deg = und.groupBy(F.col("src").alias("node_id")).agg(
         F.count("*").alias("deg")
     )
@@ -610,6 +613,13 @@ def louvain(
     ):
         budget -= 1
         rounds_done += 1
+        if labels is None:
+            labels = (
+                und.select(F.col("src").alias("node_id"))
+                .distinct()
+                .withColumn("community", F.col("node_id"))
+                .localCheckpoint()
+            )
         lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
             "community", "ca"
         )
@@ -685,25 +695,38 @@ def louvain(
         n_comm = labels.select("community").distinct().count()
     if budget <= 0 or n_comm > driver_max_nodes:
         return labels
-    lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
-        "community", "ca"
-    )
-    lab_dst = labels.withColumnRenamed("node_id", "dst").withColumnRenamed(
-        "community", "cb"
-    )
-    rows = [
-        (r["ca"], r["cb"], float(r["w"]))
-        for r in (
+    if labels is None:
+        # identity labels: the quotient IS the (deduped-undirected)
+        # edge multiset — no self-joins needed
+        quotient = und.groupBy(
+            F.col("src").alias("ca"), F.col("dst").alias("cb")
+        ).agg(F.count("*").alias("w"))
+    else:
+        lab_src = labels.withColumnRenamed(
+            "node_id", "src"
+        ).withColumnRenamed("community", "ca")
+        lab_dst = labels.withColumnRenamed(
+            "node_id", "dst"
+        ).withColumnRenamed("community", "cb")
+        quotient = (
             und.join(lab_src, "src")
             .join(lab_dst, "dst")
             .groupBy("ca", "cb")
             .agg(F.count("*").alias("w"))
-            .collect()
         )
+    rows = [
+        (r["ca"], r["cb"], float(r["w"])) for r in quotient.collect()
     ]
     assign = _louvain_local(rows, two_m, budget)
     if not assign:
-        return labels
+        # unreachable with a non-empty quotient; identity fallback
+        return (
+            und.select(F.col("src").alias("node_id"))
+            .distinct()
+            .withColumn("community", F.col("node_id"))
+            if labels is None
+            else labels
+        )
     spark = edges.sparkSession
     map_df = spark.createDataFrame(
         sorted(assign.items()), "community long, _final long"

@@ -175,6 +175,10 @@ def expand_chain(
         if direction == "forward"
         else e.select(F.col("dst").alias("node_id"), F.col("src").alias("next_id"))
     )
+    # materialize the type-filtered step relation once (lazy: the first
+    # hop pays it) instead of re-scanning the full edge table on every
+    # hop — a depth-10 walk otherwise runs 10 source scans (r9)
+    step = step.localCheckpoint(eager=False)
     frontier = seed.select("node_id")
     reached: DataFrame | None = None
     for depth in range(1, max_depth + 1):

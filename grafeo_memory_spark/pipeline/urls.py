@@ -167,16 +167,27 @@ def filter_domains(
     return df.where(F.coalesce(hit, F.lit(False)))
 
 
-def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    *,
+    domain_col: str | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
     """Per-registered-domain rollup: page count and distinct canonical
     URLs — the crawl-curation audit table (over-represented domains →
     candidates for per-key caps via ``sampling.take_per_key``). One
-    shuffle on the domain key."""
+    shuffle on the domain key. Callers that already materialized the
+    canonicalization cascade pass ``domain_col``/``key_col`` so the
+    regexp chain is not re-evaluated per consumer (r9)."""
+    dom = (
+        F.col(domain_col)
+        if domain_col
+        else registered_domain(F.col(url_col))
+    )
+    key = F.col(key_col) if key_col else url_dedup_key(F.col(url_col))
     return (
-        df.select(
-            registered_domain(F.col(url_col)).alias("domain"),
-            url_dedup_key(F.col(url_col)).alias("key"),
-        )
+        df.select(dom.alias("domain"), key.alias("key"))
         .where(F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(

@@ -647,7 +647,6 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_stats,
         registered_domain,
         normalize_url,
-        url_dedup_key,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -687,16 +686,31 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("not a url "), sid))
     )
     with_url = docs.select("doc_id", raw.alias("url"))
-    urls = with_url.select(
-        F.lit("url").alias("kind"),
-        F.col("doc_id").alias("id"),
+    # evaluate the canonicalization cascade ONCE; both output branches
+    # (per-URL rows + the domain rollup) read the materialized columns
+    # instead of re-running the regexp chain per consumer (r9). The
+    # md5 dedup key is derived from the stored canonical form — same
+    # expression url_dedup_key inlines.
+    base = with_url.select(
+        "doc_id",
         registered_domain(F.col("url")).alias("domain"),
         normalize_url(F.col("url")).alias("norm"),
-        url_dedup_key(F.col("url")).alias("key"),
+    ).localCheckpoint(eager=False)
+    urls = base.select(
+        F.lit("url").alias("kind"),
+        F.col("doc_id").alias("id"),
+        "domain",
+        "norm",
+        F.md5("norm").alias("key"),
         F.lit(None).cast("long").alias("n_pages"),
         F.lit(None).cast("long").alias("n_urls"),
     )
-    doms = domain_stats(with_url, "url").select(
+    doms = domain_stats(
+        base.withColumn("key", F.md5("norm")),
+        "url",
+        domain_col="domain",
+        key_col="key",
+    ).select(
         F.lit("dom").alias("kind"),
         F.lit(None).cast("long").alias("id"),
         "domain",
