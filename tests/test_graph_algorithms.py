@@ -430,6 +430,31 @@ def test_adamic_adar_driver_matches_distributed(spark):
     assert sorted(fast) == pytest.approx(sorted(slow))
 
 
+def test_wedge_budget_falls_back_to_distributed(spark, monkeypatch):
+    """When the collected graph's pair expansion exceeds the wedge
+    budget, both drivers must decline (return None) and the public
+    functions must fall through to the distributed plans with
+    unchanged results."""
+    from grafeo_memory_spark.graph import algorithms as ga
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = _edges(spark, pairs)
+    tri_default = sorted(map(tuple, ga.triangle_count(edges).collect()))
+    aa_default = sorted(map(tuple, ga.adamic_adar(edges).collect()))
+    monkeypatch.setattr(ga, "_WEDGE_BUDGET", 0)
+    import numpy as np
+
+    raw = np.array(pairs, dtype=np.int64)
+    assert ga._triangle_driver(spark, raw) is None
+    assert ga._adamic_adar_driver(spark, raw, None, None) is None
+    tri = sorted(map(tuple, ga.triangle_count(edges).collect()))
+    aa = sorted(map(tuple, ga.adamic_adar(edges).collect()))
+    assert tri == tri_default
+    assert [p[:2] for p in aa] == [p[:2] for p in aa_default]
+    for got, want in zip(aa, aa_default):
+        assert got[2] == pytest.approx(want[2], abs=1e-9)
+
+
 def test_k_core_peels_to_fixpoint(spark):
     # K4 {1..4} is the 3-core; the tail 4-5-6 and the pendant on 5 all
     # peel away (5 transiently has degree 2 — multiple rounds needed)
