@@ -211,22 +211,52 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3]
 
 
+#: low-level faults a corrupt payload can trip inside the bit-level
+#: decoders; decode_image normalizes them all to ValueError so a bad
+#: blob in a 100-TB ingest batch is a per-row error, not a task killer
+#: with a format-internal traceback (r9 — found by fuzzing mutated
+#: valid payloads)
+_CORRUPT_FAULTS = (
+    struct.error,
+    IndexError,
+    KeyError,
+    TypeError,
+    OverflowError,
+    EOFError,
+    zlib.error,
+)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders (PNG, BMP, baseline
     AND progressive JPEG, lossless WebP). Other formats (lossy WebP,
-    AVIF) need an external codec — inject via the ``decode=`` slot."""
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] == b"\xff\xd8":
-        from grafeo_memory_spark.pipeline.jpeg import decode_jpeg
+    AVIF) need an external codec — inject via the ``decode=`` slot.
 
-        return decode_jpeg(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from grafeo_memory_spark.pipeline.webp import decode_webp
+    Error contract: raises ``NotImplementedError`` for undecodable-by-
+    design formats and ``ValueError`` for anything malformed — a
+    truncated or bit-flipped payload never leaks a parser-internal
+    ``struct.error``/``IndexError`` (fuzz-pinned in tests)."""
+    if not payload:
+        raise ValueError("empty image payload")
+    try:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from grafeo_memory_spark.pipeline.jpeg import decode_jpeg
 
-        return decode_webp(payload)[:, :, :3]
+            return decode_jpeg(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from grafeo_memory_spark.pipeline.webp import decode_webp
+
+            return decode_webp(payload)[:, :, :3]
+    except (ValueError, NotImplementedError):
+        raise
+    except _CORRUPT_FAULTS as e:
+        raise ValueError(
+            f"corrupt {payload[:4]!r} image payload: {type(e).__name__}"
+        ) from e
     raise NotImplementedError(
         f"no stdlib codec for magic {payload[:4]!r} (AVIF needs an "
         "injected decode kernel)"
@@ -369,12 +399,19 @@ def real_audio_features(payload: bytes, dims: int = 8) -> tuple[int, list[float]
     segments, normalized to full scale. stdlib ``wave`` + numpy."""
     if payload is None:
         return 0, [0.0] * dims
-    with wave.open(io.BytesIO(payload)) as wf:
-        nch, sampwidth, rate, nframes = (
-            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(),
-            wf.getnframes(),
-        )
-        frames = wf.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            nch, sampwidth, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(),
+                wf.getnframes(),
+            )
+            frames = wf.readframes(nframes)
+    except (wave.Error, RuntimeError, *_CORRUPT_FAULTS) as e:
+        # same contract as decode_image: corrupt bytes → ValueError
+        # (stdlib wave raises a bare RuntimeError on a bad chunk seek)
+        raise ValueError(
+            f"corrupt WAV payload: {type(e).__name__}"
+        ) from e
     if sampwidth == 2:
         samples = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
     elif sampwidth == 1:

@@ -529,6 +529,65 @@ class TestHeaderProbe:
         ) == (None, 0, 0)
         assert probe_image_meta(b"BM" + b"\x01" * 12) == (None, 0, 0)
 
+    def test_decoders_normalize_corrupt_payload_faults(self):
+        """Fuzz pin for the r9 error contract: mutated/truncated/
+        garbage-extended valid payloads may fail, but ONLY as
+        ValueError or NotImplementedError — a corrupt blob inside a
+        mapInPandas batch must be a catchable per-row error, never a
+        parser-internal struct.error/IndexError that kills the task.
+        (Seeded mutations of every supported encoding; the bug class
+        was found by exactly this fuzz — 1,800+ leaks before the
+        normalization.)"""
+        import random
+
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+        from grafeo_memory_spark.pipeline.multimodal import (
+            decode_image,
+            probe_image_meta,
+            real_audio_features,
+        )
+        from grafeo_memory_spark.pipeline.webp import encode_webp_lossless
+
+        rng = random.Random(41)
+        nprng = np.random.RandomState(17)
+        img = nprng.randint(0, 255, (9, 13, 3)).astype(np.uint8)
+        rgba = np.dstack([img, np.full((9, 13), 255, np.uint8)])
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack("<64h", *([512] * 64)))
+        bases = [
+            encode_bmp(img),
+            encode_png(img),
+            encode_jpeg(img),
+            encode_webp_lossless(rgba),
+            buf.getvalue(),
+        ]
+        for _ in range(1500):
+            b = bytearray(rng.choice(bases))
+            for _ in range(rng.randrange(1, 8)):
+                op = rng.randrange(3)
+                if op == 0 and len(b) > 4:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 8:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    b += bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(1, 5))
+                    )
+            pb = bytes(b)
+            probe_image_meta(pb)  # must never raise
+            try:
+                decode_image(pb)
+            except (ValueError, NotImplementedError):
+                pass
+            try:
+                real_audio_features(pb)
+            except (ValueError, NotImplementedError):
+                pass
+
     def test_probe_images_prunes_before_decode(self, spark):
         from grafeo_memory_spark.pipeline.multimodal import probe_images
 
