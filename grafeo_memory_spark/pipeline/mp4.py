@@ -287,10 +287,24 @@ def parse_mp4_frames(payload: bytes) -> list[bytes]:
     Raises ValueError on a non-BMFF payload or one without a video
     sample table, and NotImplementedError when the video track's
     codec needs an external decoder (names the fourcc — the
-    injectable slot).
+    injectable slot). Corrupt box structures (truncated sample
+    tables, box sizes pointing past the payload) also raise
+    ValueError — never a parser-internal struct.error (fuzz-pinned,
+    same r9 contract as decode_image).
     """
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF/MP4 payload")
+    try:
+        return _parse_mp4_frames_unsafe(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, OverflowError, TypeError) as e:
+        raise ValueError(
+            f"corrupt MP4 payload: {type(e).__name__}"
+        ) from e
+
+
+def _parse_mp4_frames_unsafe(payload: bytes) -> list[bytes]:
     end = len(payload)
     moov = _find(payload, 0, end, [b"moov"])
     if moov is None:

@@ -540,7 +540,15 @@ class TestHeaderProbe:
         normalization.)"""
         import random
 
+        from grafeo_memory_spark.pipeline.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
         from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
         from grafeo_memory_spark.pipeline.multimodal import (
             decode_image,
             probe_image_meta,
@@ -558,12 +566,15 @@ class TestHeaderProbe:
             wf.setsampwidth(2)
             wf.setframerate(8000)
             wf.writeframes(struct.pack("<64h", *([512] * 64)))
+        jpgs = [encode_jpeg(img) for _ in range(2)]
         bases = [
             encode_bmp(img),
             encode_png(img),
-            encode_jpeg(img),
+            jpgs[0],
             encode_webp_lossless(rgba),
             buf.getvalue(),
+            encode_avi_mjpeg(jpgs, 13, 9, 10),
+            encode_mp4_mjpeg(jpgs, 13, 9, 10),
         ]
         for _ in range(1500):
             b = bytearray(rng.choice(bases))
@@ -579,14 +590,16 @@ class TestHeaderProbe:
                     )
             pb = bytes(b)
             probe_image_meta(pb)  # must never raise
-            try:
-                decode_image(pb)
-            except (ValueError, NotImplementedError):
-                pass
-            try:
-                real_audio_features(pb)
-            except (ValueError, NotImplementedError):
-                pass
+            for fn in (
+                decode_image,
+                real_audio_features,
+                parse_avi_frames,
+                parse_mp4_frames,
+            ):
+                try:
+                    fn(pb)
+                except (ValueError, NotImplementedError):
+                    pass
 
     def test_probe_images_prunes_before_decode(self, spark):
         from grafeo_memory_spark.pipeline.multimodal import probe_images
