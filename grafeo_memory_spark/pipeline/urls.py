@@ -40,6 +40,7 @@ __all__ = [
     "url_dedup_key",
     "registered_domain",
     "filter_domains",
+    "filter_domains_table",
     "domain_stats",
 ]
 
@@ -165,6 +166,41 @@ def filter_domains(
     if mode == "block":
         return df.where(~F.coalesce(hit, F.lit(False)))
     return df.where(F.coalesce(hit, F.lit(False)))
+
+
+def filter_domains_table(
+    df: DataFrame,
+    url_col: str,
+    domains: DataFrame,
+    *,
+    mode: str = "block",
+) -> DataFrame:
+    """Table-driven twin of :func:`filter_domains` for blocklists too
+    large to inline as a plan literal (a production crawl blocklist is
+    millions of domains). ``domains`` carries one lowercase ``domain``
+    column; the corpus side computes its registered domain map-side
+    and the membership test is a broadcast semi-join (``allow``) /
+    anti-join (``block``) — the corpus is never shuffled either way.
+    NULL domains (unparseable URLs) keep filter_domains' semantics:
+    dropped in allow mode, kept in block mode (an anti-join keeps
+    NULL-keyed rows by construction). Blocklists past broadcast size
+    (~hundreds of MB): drop the explicit ``broadcast()`` hint at the
+    call site's discretion — the join stays a semi/anti shuffle join
+    keyed on domain, still corpus-shuffle-free on the URL table's
+    payload columns only after column pruning."""
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be 'block' or 'allow'")
+    dom = registered_domain(F.col(url_col))
+    lst = F.broadcast(
+        domains.select(F.lower(F.col("domain")).alias("_block_dom")).distinct()
+    )
+    keyed = df.withColumn("_dom", dom)
+    joined = keyed.join(
+        lst,
+        keyed["_dom"] == lst["_block_dom"],
+        "left_semi" if mode == "allow" else "left_anti",
+    )
+    return joined.drop("_dom")
 
 
 def domain_stats(

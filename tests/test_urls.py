@@ -106,6 +106,40 @@ def test_filter_domains_block_and_allow(spark):
         filter_domains(df, "url", [], mode="deny")
 
 
+def test_filter_domains_table_matches_literal_variant(spark):
+    """The broadcast-join blocklist twin must agree with the inlined-
+    literal filter_domains on every mode, including the NULL-domain
+    (unparseable URL) rows, and preserve the input schema."""
+    from grafeo_memory_spark.pipeline.urls import filter_domains_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://spam.example.net/a"),
+            (2, "https://keep.org/b"),
+            (3, "garbage"),
+            (4, "https://www.KEEP.org/c"),
+        ],
+        "id int, url string",
+    )
+    doms = spark.createDataFrame(
+        [("example.net",), ("KEEP.org",)], "domain string"
+    )
+    for mode, lits in (("block", ["example.net", "keep.org"]),
+                       ("allow", ["example.net", "keep.org"])):
+        lit_ids = {
+            r["id"] for r in filter_domains(df, "url", lits, mode=mode).collect()
+        }
+        tab_ids = {
+            r["id"]
+            for r in filter_domains_table(df, "url", doms, mode=mode).collect()
+        }
+        assert tab_ids == lit_ids, mode
+    out = filter_domains_table(df, "url", doms, mode="block")
+    assert out.columns == df.columns
+    with pytest.raises(ValueError):
+        filter_domains_table(df, "url", doms, mode="deny")
+
+
 def test_dedup_key_collapses_variants_duckdb_parity(spark):
     urls = [
         "http://Example.com/a?utm_source=x",
