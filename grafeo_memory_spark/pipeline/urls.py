@@ -174,6 +174,7 @@ def filter_domains_table(
     domains: DataFrame,
     *,
     mode: str = "block",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Table-driven twin of :func:`filter_domains` for blocklists too
     large to inline as a plan literal (a production crawl blocklist is
@@ -184,23 +185,28 @@ def filter_domains_table(
     NULL domains (unparseable URLs) keep filter_domains' semantics:
     dropped in allow mode, kept in block mode (an anti-join keeps
     NULL-keyed rows by construction). Blocklists past broadcast size
-    (~hundreds of MB): drop the explicit ``broadcast()`` hint at the
-    call site's discretion — the join stays a semi/anti shuffle join
-    keyed on domain, still corpus-shuffle-free on the URL table's
-    payload columns only after column pruning."""
+    (~hundreds of MB): pass ``broadcast=False`` — the join becomes a
+    plain semi/anti shuffle join keyed on domain, which only shuffles
+    the corpus's join key plus surviving payload columns after column
+    pruning (still never a corpus-payload hash repartition)."""
     if mode not in ("block", "allow"):
         raise ValueError("mode must be 'block' or 'allow'")
     dom = registered_domain(F.col(url_col))
-    lst = F.broadcast(
-        domains.select(F.lower(F.col("domain")).alias("_block_dom")).distinct()
-    )
-    keyed = df.withColumn("_dom", dom)
+    lst = domains.select(F.lower(F.col("domain")).alias("_block_dom")).distinct()
+    if broadcast:
+        lst = F.broadcast(lst)
+    # Collision-proof staging column: the join key must not silently
+    # shadow (and then drop) a caller column of the same name.
+    key = "_dom"
+    while key in df.columns:
+        key += "_"
+    keyed = df.withColumn(key, dom)
     joined = keyed.join(
         lst,
-        keyed["_dom"] == lst["_block_dom"],
+        keyed[key] == lst["_block_dom"],
         "left_semi" if mode == "allow" else "left_anti",
     )
-    return joined.drop("_dom")
+    return joined.drop(key)
 
 
 def domain_stats(

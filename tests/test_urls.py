@@ -140,6 +140,61 @@ def test_filter_domains_table_matches_literal_variant(spark):
         filter_domains_table(df, "url", doms, mode="deny")
 
 
+def test_filter_domains_table_broadcast_knob(spark):
+    """broadcast=False is the over-broadcast-size escape hatch: the
+    plan must NOT broadcast the domain table (plain shuffle semi/anti
+    join instead), while results stay identical to the default path."""
+    from grafeo_memory_spark.pipeline.urls import filter_domains_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://spam.example.net/a"),
+            (2, "https://keep.org/b"),
+            (3, "garbage"),
+        ],
+        "id int, url string",
+    )
+    doms = spark.createDataFrame([("example.net",)], "domain string")
+    # Disable size-based auto-broadcast so the plan shape reflects the
+    # knob alone (a 1-row test table would otherwise be auto-broadcast).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = filter_domains_table(
+            df, "url", doms, mode="block", broadcast=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert {r["id"] for r in out.collect()} == {2, 3}
+        bplan = (
+            filter_domains_table(df, "url", doms, mode="block")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in bplan or "BroadcastExchange" in bplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_filter_domains_table_dom_column_collision(spark):
+    """A caller column literally named `_dom` must survive untouched —
+    the staging key picks a non-colliding name instead of shadowing."""
+    from grafeo_memory_spark.pipeline.urls import filter_domains_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://spam.example.net/a", "keepme"),
+            (2, "https://keep.org/b", "metoo"),
+        ],
+        "id int, url string, _dom string",
+    )
+    doms = spark.createDataFrame([("example.net",)], "domain string")
+    out = filter_domains_table(df, "url", doms, mode="block")
+    assert out.columns == df.columns
+    rows = out.collect()
+    assert [(r["id"], r["_dom"]) for r in rows] == [(2, "metoo")]
+
+
 def test_dedup_key_collapses_variants_duckdb_parity(spark):
     urls = [
         "http://Example.com/a?utm_source=x",
