@@ -246,20 +246,41 @@ def _parse_stbl(data: bytes, pos: int, end: int):
             fixed = _U32.unpack_from(data, b + 4)[0]
             n = _U32.unpack_from(data, b + 8)[0]
             if fixed:
+                # Every sample occupies >=1 byte of mdat, so a count
+                # beyond the whole payload is physically impossible —
+                # reject before `[fixed] * n` turns a 4-byte corruption
+                # into a multi-GB allocation (per-row error, never an
+                # executor OOM).
+                if n > len(data):
+                    raise ValueError(
+                        "corrupt MP4 payload: implausible sample count"
+                    )
                 sizes = [fixed] * n
             else:
+                if b + 12 + 4 * n > e:
+                    raise ValueError(
+                        "corrupt MP4 payload: implausible sample count"
+                    )
                 sizes = [
                     _U32.unpack_from(data, b + 12 + 4 * i)[0] for i in range(n)
                 ]
         elif fourcc in (b"stco", b"co64"):
             n = _U32.unpack_from(data, b + 4)[0]
             width, unpack = (4, _U32) if fourcc == b"stco" else (8, _U64)
+            if b + 8 + width * n > e:
+                raise ValueError(
+                    "corrupt MP4 payload: implausible chunk count"
+                )
             offsets = [
                 unpack.unpack_from(data, b + 8 + width * i)[0]
                 for i in range(n)
             ]
         elif fourcc == b"stsc":
             n = _U32.unpack_from(data, b + 4)[0]
+            if b + 8 + 12 * n > e:
+                raise ValueError(
+                    "corrupt MP4 payload: implausible stsc entry count"
+                )
             runs = [
                 (
                     _U32.unpack_from(data, b + 8 + 12 * i)[0],
@@ -276,7 +297,13 @@ def _samples_per_chunk(runs: list[tuple[int, int]], n_chunks: int) -> list[int]:
     out: list[int] = []
     for i, (first, count) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        # A run can never span more chunks than the chunk-offset table
+        # holds — a corrupt first_chunk in the NEXT run would otherwise
+        # drive `[count] * run_len` to a multi-GB allocation.
+        last = min(last, n_chunks)
         out.extend([count] * max(0, last - first + 1))
+        if len(out) > n_chunks:
+            del out[n_chunks:]
     return out
 
 

@@ -601,6 +601,71 @@ class TestHeaderProbe:
                 except (ValueError, NotImplementedError):
                     pass
 
+    def test_mp4_implausible_sample_counts_raise_not_allocate(self):
+        """Targeted fuzz for the ADVICE r9 hole: a 4-byte corruption of
+        the stsz sample count (fixed-size path), the stsz entry count
+        (variable path), an stco chunk count, or an stsc run's
+        first_chunk must surface as ValueError — NOT attempt a
+        count-sized allocation (0xFFFFFFFF × 8 B ≈ 32 GB) that leaks
+        MemoryError and OOM-kills the executor task."""
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+        from grafeo_memory_spark.pipeline.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
+
+        nprng = np.random.RandomState(23)
+        img = nprng.randint(0, 255, (9, 13, 3)).astype(np.uint8)
+        jpgs = [encode_jpeg(img) for _ in range(3)]
+        base = encode_mp4_mjpeg(jpgs, 13, 9, 10, samples_per_chunk=2)
+
+        def box_body(fourcc: bytes) -> int:
+            i = base.find(fourcc)
+            assert i > 0, fourcc
+            return i + 4  # full-box body starts after the fourcc
+
+        huge = struct.pack(">I", 0xFFFFFFFF)
+
+        # stsz fixed-size path: fixed!=0, count=0xFFFFFFFF
+        b = bytearray(base)
+        s = box_body(b"stsz")
+        b[s + 4 : s + 8] = struct.pack(">I", 100)  # fixed sample size
+        b[s + 8 : s + 12] = huge  # sample count
+        with pytest.raises(ValueError, match="implausible"):
+            parse_mp4_frames(bytes(b))
+
+        # stsz variable path: count far past the box body
+        b = bytearray(base)
+        b[s + 8 : s + 12] = huge
+        with pytest.raises(ValueError, match="implausible"):
+            parse_mp4_frames(bytes(b))
+
+        # stco: chunk count past the box body
+        b = bytearray(base)
+        c = box_body(b"stco")
+        b[c + 4 : c + 8] = huge
+        with pytest.raises(ValueError, match="implausible"):
+            parse_mp4_frames(bytes(b))
+
+        # stsc: entry count past the box body
+        b = bytearray(base)
+        t = box_body(b"stsc")
+        b[t + 4 : t + 8] = huge
+        with pytest.raises(ValueError, match="implausible"):
+            parse_mp4_frames(bytes(b))
+
+        # stsc run-length bomb: 3 samples @ 2/chunk encodes TWO runs
+        # [(1,2),(2,1)]; blowing run 1's first_chunk to 0xFFFFFFFF
+        # makes run 0's expansion `[2] * (0xFFFFFFFE)` (~32 GB) unless
+        # run lengths are clamped to the chunk count. Must degrade to a
+        # per-row error or a plausible parse — never a giant allocation.
+        b = bytearray(base)
+        b[t + 20 : t + 24] = huge  # second run's first_chunk
+        try:
+            parse_mp4_frames(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
     def test_probe_images_prunes_before_decode(self, spark):
         from grafeo_memory_spark.pipeline.multimodal import probe_images
 
