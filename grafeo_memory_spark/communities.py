@@ -295,11 +295,11 @@ def connected_components(
     quotient pulls elsewhere. Above the threshold (or with the gate
     disabled via ``driver_edge_threshold=0``) the distributed loop
     below runs unchanged — that is the 100-TB path, and the two paths
-    agree bit-for-bit. The gate probes ``limit(threshold+1).count()``
-    (r9, same bounded probe as the graph-algorithm gates): callers that
-    checkpoint the pair set first read materialized blocks either way,
-    and callers that don't no longer execute the full pair plan once
-    just to decide the path.
+    agree bit-for-bit. The gate is ONE bounded ``limit(threshold+1)``
+    collect reused as the driver path's input (r10, same single-job
+    probe as the graph-algorithm gates): the pair plan executes once,
+    and the driver can never receive more than ``threshold + 1`` rows
+    even from a nondeterministic or growing source.
 
     Scale shape: each round is a neighbor-min join + agg PLUS a
     pointer-jumping join (``component[component[x]]`` — the hash-to-min
@@ -314,11 +314,12 @@ def connected_components(
     never undershoot the component's true min id (the fixpoint the
     recursive-CTE oracle checks is unchanged).
     """
-    if (
-        driver_edge_threshold
-        and edges_sym.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
+    gated_rows = (
+        edges_sym.limit(driver_edge_threshold + 1).collect()
+        if driver_edge_threshold
+        else None
+    )
+    if gated_rows is not None and len(gated_rows) <= driver_edge_threshold:
         parent: dict = {}
 
         def find(x):
@@ -329,7 +330,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges_sym.collect():
+        for row in gated_rows:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

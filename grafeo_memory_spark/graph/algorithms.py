@@ -73,6 +73,28 @@ def _und_simple(edges: DataFrame, symmetrized: bool) -> DataFrame:
     return symmetrize(edges)
 
 
+def _driver_gate(edges: DataFrame, threshold: int):
+    """Single-job probe + collect for the gated driver fast paths.
+
+    Collects at most ``threshold + 1`` (src, dst) rows in ONE bounded
+    job and returns the int64 ``(n, 2)`` array when the whole edge list
+    fit (``n <= threshold``), else ``None``. The former two-job shape —
+    ``limit(threshold+1).count()`` then an unbounded ``toPandas()`` —
+    executed the plan twice: a nondeterministic or growing source could
+    pass the count and the second job would then ship arbitrarily more
+    than ``threshold`` rows to the driver (ADVICE r9). Here the driver
+    can never receive more than ``threshold + 1`` rows, and passing
+    graphs save a full scheduling round-trip."""
+    if not threshold:
+        return None
+    import numpy as np
+
+    pdf = edges.select("src", "dst").limit(threshold + 1).toPandas()
+    if len(pdf) > threshold:
+        return None
+    return pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
+
+
 def _pagerank_driver(
     spark, edge_np, damping: float, max_iter: int, tol: float
 ) -> DataFrame:
@@ -141,20 +163,12 @@ def pagerank(
     on a sub-million-edge graph. ``driver_edge_threshold=0`` forces
     the distributed loop; a randomized parity test
     (`test_pagerank_driver_matches_distributed`) pins the two paths to
-    each other. The gate probes ``limit(threshold+1).count()`` — a
-    bounded scan, never a full materialization of a 100-TB edge list
-    just to decide the path (r9; VERDICT r8 item 3).
+    each other. The gate is :func:`_driver_gate` — ONE bounded
+    ``limit(threshold+1)`` collect, never a full materialization of a
+    100-TB edge list just to decide the path (r10; ADVICE r9).
     """
-    if (
-        driver_edge_threshold
-        and edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
-        import numpy as np
-
-        edge_np = (
-            edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
-        )
+    edge_np = _driver_gate(edges, driver_edge_threshold)
+    if edge_np is not None:
         return _pagerank_driver(
             edges.sparkSession, edge_np, damping, max_iter, tol
         )
@@ -315,20 +329,16 @@ def label_propagation(
 
     Edge lists at or under ``driver_edge_threshold`` raw rows take the
     gated numpy fast path (`_lpa_driver`, r9 — same pattern and same
-    ``limit(threshold+1).count()`` bounded gate probe as
+    single-job bounded :func:`_driver_gate` probe as
     :func:`pagerank` / :func:`betweenness_centrality`); a randomized
     parity test (`test_lpa_driver_matches_distributed`) pins the two
     paths to exact equality. ``driver_edge_threshold=0`` forces the
     distributed loop — the 100-TB shape.
     """
-    if (
-        driver_edge_threshold
-        and edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
+    raw = _driver_gate(edges, driver_edge_threshold)
+    if raw is not None:
         import numpy as np
 
-        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
         und_np = (
             np.unique(np.vstack([raw, raw[:, ::-1]]), axis=0)
             if len(raw)
@@ -833,20 +843,17 @@ def betweenness_centrality(
     overhead on a sub-million-edge graph, while the distributed path
     stays the scale shape (pass ``driver_edge_threshold=0`` to force
     it; the parity test pins driver ≡ distributed on random graphs).
-    The gate probes ``limit(threshold+1).count()`` on the RAW edge
-    list BEFORE the symmetrize shuffle (r9; VERDICT r8 item 3) — the
-    driver path symmetrizes in numpy, so the cluster never pays a
-    distinct + checkpoint just to decide the path.
+    The gate (:func:`_driver_gate`) collects a bounded
+    ``limit(threshold+1)`` slice of the RAW edge list BEFORE the
+    symmetrize shuffle (r10; ADVICE r9) — the driver path symmetrizes
+    in numpy, so the cluster never pays a distinct + checkpoint just
+    to decide the path.
     """
-    if (
-        driver_edge_threshold
-        and edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
+    raw = _driver_gate(edges, driver_edge_threshold)
+    if raw is not None:
         import numpy as np
         import pandas as pd
 
-        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
         # the exact set _undirected builds (both directions, distinct,
         # self-loops kept), built driver-side
         und_np = (
@@ -1192,14 +1199,8 @@ def triangle_count(
     graph whose expansion is still huge falls back to the distributed
     plan. ``driver_edge_threshold=0`` forces the distributed path.
     """
-    if (
-        driver_edge_threshold
-        and edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
-        import numpy as np
-
-        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
+    raw = _driver_gate(edges, driver_edge_threshold)
+    if raw is not None:
         out = _triangle_driver(edges.sparkSession, raw)
         if out is not None:
             return out
@@ -1287,14 +1288,8 @@ def adamic_adar(
     falls back to the distributed plan. ``driver_edge_threshold=0``
     forces the distributed path.
     """
-    if (
-        driver_edge_threshold
-        and edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
-        import numpy as np
-
-        raw = edges.select("src", "dst").toPandas().to_numpy(dtype=np.int64)
+    raw = _driver_gate(edges, driver_edge_threshold)
+    if raw is not None:
         out = _adamic_adar_driver(
             edges.sparkSession, raw, top_k, max_hub_degree
         )
