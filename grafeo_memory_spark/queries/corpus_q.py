@@ -28,6 +28,7 @@ from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
 from grafeo_memory_spark.pipeline.sampling import (
     length_bucket,
     mixture_sample,
+    shuffle_rows,
     stratified_sample,
     weighted_sample_per_key,
     take_per_key,
@@ -312,6 +313,16 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) WHERE rn <= 3
     UNION ALL
+    SELECT 'shuffle' ||
+           CAST((('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 15))
+                 ::BIGINT % 4) AS VARCHAR) AS kind,
+           doc_id, source
+    FROM (
+      SELECT doc_id, source FROM documents
+      ORDER BY md5('11:' || doc_id::VARCHAR), doc_id ASC
+      LIMIT 20
+    )
+    UNION ALL
     SELECT 'mixture' AS kind, doc_id, source FROM documents
     JOIN (
       WITH w(d, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
@@ -358,7 +369,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), then apply the deterministic md5 Bernoulli per domain.
     The oracle replays the whole thing — availability aggregate,
     feasibility min, fraction arithmetic in the same operation order,
-    and the exact row selection."""
+    and the exact row selection.
+
+    'shuffleN' — epoch shuffle + sharding (`pipeline/sampling.
+    shuffle_rows`, seed=11, num_shards=4; folded in r10 so the op sits
+    under the driver gate like its siblings — VERDICT r9 item 3): the
+    first 20 rows of the seeded md5 permutation, each tagged with its
+    derived shard in the kind ('shuffle0'..'shuffle3'). The oracle
+    replays the draw (`md5('11:' || id)`), the (draw, id) total order,
+    the top-20 prefix, and the hex-prefix shard arithmetic — pinning
+    both the permutation and seed-stable shard membership."""
     docs = load_table(spark, sf_dir, "documents")
     strat = stratified_sample(
         docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.125},
@@ -374,8 +394,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         id_col="doc_id", salt=3,
     ).select(F.lit("mixture").alias("kind"), "doc_id", "source")
+    shuf = (
+        shuffle_rows(docs, "doc_id", seed=11, num_shards=4)
+        .limit(20)
+        .select(
+            F.concat(F.lit("shuffle"), F.col("shard").cast("string")).alias(
+                "kind"
+            ),
+            "doc_id",
+            "source",
+        )
+    )
     return (
         strat.unionByName(cap).unionByName(wes).unionByName(mix)
+        .unionByName(shuf)
         .orderBy("kind", "doc_id")
     )
 
