@@ -354,45 +354,65 @@ def label_propagation(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr_labels = (
+        # TWO exchanges per round, both partial-aggregating (r10 —
+        # formerly three: votes groupBy + argmax groupBy + an old-vs-new
+        # labels equi-join). The old label rides the vote aggregation
+        # as a null-weight sentinel row per node: count(_w) skips the
+        # sentinel, so vote totals are untouched, while max(_old) tags
+        # the node's current community through both aggregations — the
+        # changed-count job becomes a plain filter on the checkpointed
+        # result and the labels join disappears. The sentinel also
+        # subsumes the isolated-node fallback: labels is seeded from
+        # und's own src set, so every node has >=1 neighbor vote, and a
+        # zero-vote sentinel group (-0 > -votes) can only win argmax if
+        # no real vote exists — which cannot happen here, and would
+        # keep the old label if it did.
+        votes = (
             und.join(labels.withColumnRenamed("node_id", "dst"), "dst")
-            .groupBy(F.col("src").alias("node_id"), "community")
-            .agg(F.count("*").alias("votes"))
+            .select(
+                F.col("src").alias("node_id"),
+                "community",
+                F.lit(1).alias("_w"),
+                F.lit(None).cast("int").alias("_old"),
+            )
+            .unionByName(
+                labels.select(
+                    "node_id",
+                    "community",
+                    F.lit(None).cast("int").alias("_w"),
+                    F.lit(1).alias("_old"),
+                )
+            )
+            .groupBy("node_id", "community")
+            .agg(F.count("_w").alias("votes"), F.max("_old").alias("_old"))
         )
         # deterministic argmax as a hash aggregate (r7 — replaces a
         # row_number window, trading the per-node sort for a partial-
         # aggregating min over the (-votes, community) struct; same
         # most-frequent-label, ties-to-smallest semantics the oracle
-        # pins)
+        # pins). Checkpoint every round: new_labels feeds both the
+        # changed-count job and the next iteration, and truncated
+        # lineage keeps per-iteration cost constant (eager: measured
+        # faster than lazy here, same A/B as the pagerank loop — the
+        # changed-count job stays a cached read).
         new_labels = (
-            nbr_labels.groupBy("node_id")
+            votes.groupBy("node_id")
             .agg(
                 F.min(
                     F.struct(
                         (-F.col("votes")).alias("_nv"),
                         F.col("community").alias("community"),
                     )
-                ).alias("_best")
+                ).alias("_best"),
+                F.max(
+                    F.when(F.col("_old") == 1, F.col("community"))
+                ).alias("_c_old"),
             )
-            .select("node_id", F.col("_best.community").alias("community"))
-        )
-        # isolated nodes keep their own label. Checkpoint every round:
-        # new_labels feeds both the changed-count job and the next
-        # iteration, and truncated lineage keeps per-iteration cost
-        # constant instead of re-executing prior rounds inside each
-        # action. Carry the old label through the update so the
-        # changed-count job is a plain filter+count — no old-vs-new
-        # join per round.
-        new_labels = (
-            labels.select("node_id", F.col("community").alias("_c_old"))
-            .join(new_labels, "node_id", "left")
             .select(
                 "node_id",
-                F.coalesce(F.col("community"), F.col("node_id")).alias("community"),
+                F.col("_best.community").alias("community"),
                 "_c_old",
             )
-            # eager: measured faster than lazy here (same A/B as the
-            # pagerank loop — the changed-count job stays a cached read)
             .localCheckpoint()
         )
         changed = (
@@ -885,7 +905,12 @@ def betweenness_centrality(
         src_df = verts.select(F.col("node_id").alias("s"))
     else:
         # dedup like the driver path so duplicate ids in `sources`
-        # cannot double their contribution (ADVICE r8)
+        # cannot double their contribution (ADVICE r8). The seed's 32
+        # near-empty createDataFrame partitions look wasteful in
+        # `visited`, but collapsing them (coalesce(1), r10 probe) is
+        # 2× WORSE at sf0.1: the narrow coalesce also caps the first
+        # expansion join's parallelism at one task. Leave layout to
+        # the planner.
         src_df = und.sparkSession.createDataFrame(
             [(s,) for s in sorted({int(s) for s in sources})], "s long"
         )
@@ -897,22 +922,35 @@ def betweenness_centrality(
     visited = frontier.localCheckpoint()
     levels = [visited]
     for depth in range(1, max_depth + 1):
-        # aggregate BEFORE the visited anti-join: the groupBy hash-
-        # partitions the expanded set on (s, v), and the left join that
-        # follows is on the same key, so only the (smaller) visited
-        # side shuffles — and the anti-join probes one row per
-        # candidate node instead of one per in-edge (r7 perf pass)
+        # ONE exchange per level (r10): the sigma aggregation and the
+        # visited anti-join both key on (s, v), so instead of a groupBy
+        # followed by a left join (two hash-partitionings of (s, v)
+        # data per level, r7 shape) the visited set rides the SAME
+        # aggregation as a null-sigma sentinel row — sum(sigma) ignores
+        # it, max(_seen) marks the node as already reached, and the
+        # filter keeps exactly the anti-join's survivors. On a
+        # 1000-executor cluster this halves the per-level shuffle
+        # barrier count of the hot loop; the und expansion join stays
+        # declarative (AQE broadcasts the small side at bench scale,
+        # shuffle-joins at 100 TB).
+        expanded = frontier.join(und.withColumnRenamed("src", "v"), "v").select(
+            "s",
+            F.col("dst").alias("v"),
+            F.col("sigma"),
+            F.lit(0).alias("_seen"),
+        )
         nxt = (
-            frontier.join(und.withColumnRenamed("src", "v"), "v")
-            .select("s", F.col("dst").alias("v"), F.col("sigma"))
-            .groupBy("s", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(
-                visited.select("s", "v").withColumn("_seen", F.lit(1)),
-                ["s", "v"],
-                "left",
+            expanded.unionByName(
+                visited.select(
+                    "s",
+                    "v",
+                    F.lit(None).cast("double").alias("sigma"),
+                    F.lit(1).alias("_seen"),
+                )
             )
-            .where(F.col("_seen").isNull())
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"), F.max("_seen").alias("_seen"))
+            .where(F.col("_seen") == 0)
             .withColumn("depth", F.lit(depth))
             .select("s", "v", "depth", "sigma")
         )
@@ -942,38 +980,52 @@ def betweenness_centrality(
     for d in range(len(levels) - 1, 0, -1):
         upper = levels[d - 1].select("s", "v", "sigma")
         lower_delta = deltas[-1]  # (s, v, sigma, delta) of depth-d nodes
-        contrib = (
+        # ONE exchange per level (r10): sigma_v is constant per (s, v),
+        # so Σ_w sigma_v/sigma_w·(1+delta_w) = sigma_v · Σ_w
+        # (1+delta_w)/sigma_w — hoisting it means the contribution
+        # partials need NO join with upper before aggregating. The
+        # upper rows then ride the same groupBy as sentinel rows
+        # carrying sigma (part=0), replacing the r7 shape's three
+        # (s, v)-keyed barriers per level (contrib groupBy + upper
+        # equi-join + attach left-join) with a single aggregation;
+        # rows whose aggregated sigma is NULL are contributions to
+        # non-predecessor neighbors (same depth / deeper) — exactly
+        # what the former inner join with upper discarded.
+        part = (
             lower_delta.withColumnRenamed("v", "w")
-            .withColumnRenamed("sigma", "sigma_w")
+            .select(
+                "s",
+                "w",
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias(
+                    "part"
+                ),
+            )
             .join(
                 und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
                 "w",
             )
-            .join(
-                upper.withColumnRenamed("sigma", "sigma_v"), ["s", "v"]
-            )
             .select(
-                "s",
-                "v",
-                (
-                    F.col("sigma_v")
-                    / F.col("sigma_w")
-                    * (F.lit(1.0) + F.col("delta"))
-                ).alias("add"),
+                "s", "v", F.lit(None).cast("double").alias("sigma"), "part"
             )
-            .groupBy("s", "v")
-            .agg(F.sum("add").alias("add"))
         )
         deltas.append(
-            upper.join(contrib, ["s", "v"], "left")
+            upper.select("s", "v", "sigma", F.lit(0.0).alias("part"))
+            .unionByName(part)
+            .groupBy("s", "v")
+            .agg(F.max("sigma").alias("sigma"), F.sum("part").alias("part"))
+            .where(F.col("sigma").isNotNull())
             .select(
                 "s",
                 "v",
                 "sigma",
-                F.coalesce(F.col("add"), F.lit(0.0)).alias("delta"),
+                (F.col("sigma") * F.col("part")).alias("delta"),
             )
-            # lazy: materializes inside the next level's contrib job
-            # (or the final union) instead of one eager job per level
+            # lazy checkpoint each level: it memoizes as well as
+            # flattens — every delta frame is read TWICE (by the next
+            # level's contrib and by the final union), so skipping
+            # checkpoints recomputes each level and measures slower
+            # (r10 probe: cadence-3 checkpointing was ~0.7 s worse at
+            # sf0.1 than per-level), besides re-deepening lineage
             .localCheckpoint(eager=False)
         )
 
