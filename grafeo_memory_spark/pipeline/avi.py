@@ -117,24 +117,54 @@ def is_avi(payload: bytes) -> bool:
 
 def _walk_movi(data: bytes, pos: int, end: int, out: list[bytes]) -> None:
     """Collect compressed/uncompressed video frame chunks (``##dc`` /
-    ``##db``) from a movi (or nested ``rec ``) LIST body."""
-    while pos + 8 <= end:
-        fourcc = data[pos : pos + 4]
-        size = _U32.unpack_from(data, pos + 4)[0]
-        body_start = pos + 8
-        body_end = min(body_start + size, end)
-        if fourcc == b"LIST" and data[body_start : body_start + 4] == b"rec ":
-            _walk_movi(data, body_start + 4, body_end, out)
-        elif fourcc[2:4] in (b"dc", b"db") and size > 0:
-            out.append(data[body_start:body_end])
-        pos = body_start + size + (size & 1)
+    ``##db``) from a movi (or nested ``rec ``) LIST body.
+
+    Iterative with an explicit range stack (r10): a crafted payload can
+    nest ``rec `` LISTs thousands deep in a few KB, and the former
+    recursion leaked RecursionError through the per-row error contract
+    — each nesting level costs 8 header bytes, so the stack is bounded
+    by ``len(data) / 8`` entries of two ints, never the interpreter's
+    call-stack limit."""
+    stack = [(pos, end)]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = _U32.unpack_from(data, pos + 4)[0]
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if (
+                fourcc == b"LIST"
+                and data[body_start : body_start + 4] == b"rec "
+            ):
+                # resume the current body after the nested rec LIST
+                stack.append((body_start + size + (size & 1), end))
+                pos, end = body_start + 4, body_end
+                continue
+            if fourcc[2:4] in (b"dc", b"db") and size > 0:
+                out.append(data[body_start:body_end])
+            pos = body_start + size + (size & 1)
 
 
 def parse_avi_frames(payload: bytes) -> list[bytes]:
     """RIFF/AVI bytes → list of raw frame payloads (JPEGs for MJPEG),
-    in stream order. Raises ValueError on a non-AVI payload."""
+    in stream order. Raises ValueError on a non-AVI payload; corrupt
+    RIFF structures also surface as ValueError, never a parser-internal
+    struct.error/RecursionError (r10 — the same fuzz-pinned per-row
+    error contract as `parse_mp4_frames` / `decode_image`: a bad blob
+    inside a mapInPandas batch must be catchable per row, not a task
+    killer)."""
     if not is_avi(payload):
         raise ValueError("not a RIFF/AVI payload")
+    try:
+        return _parse_avi_frames_unsafe(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError, TypeError, RecursionError) as e:
+        raise ValueError(f"corrupt AVI payload: {type(e).__name__}") from e
+
+
+def _parse_avi_frames_unsafe(payload: bytes) -> list[bytes]:
     frames: list[bytes] = []
     pos, end = 12, min(len(payload), 8 + _U32.unpack_from(payload, 4)[0])
     while pos + 8 <= end:

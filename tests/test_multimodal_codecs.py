@@ -666,6 +666,48 @@ class TestHeaderProbe:
         except (ValueError, NotImplementedError):
             pass
 
+    def test_avi_deep_rec_nesting_no_recursion_leak(self):
+        """A few-KB payload can nest `rec ` LISTs thousands deep; the
+        movi walk must be stack-safe (iterative) and any residual
+        parser fault must surface as ValueError — the r10 extension of
+        the corrupt-payload contract to the AVI demuxer."""
+        import struct as _s
+
+        from grafeo_memory_spark.pipeline.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
+
+        frame = b"\xff\xd8frame-bytes"
+        depth = 5000
+        inner = b"00dc" + _s.pack("<I", len(frame)) + frame
+        for _ in range(depth):
+            inner = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"rec " + inner
+        movi = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"movi" + inner
+        body = b"AVI " + movi
+        payload = b"RIFF" + _s.pack("<I", len(body)) + body
+        # must parse (or fail per-row) without blowing the call stack
+        assert parse_avi_frames(payload) == [frame]
+
+        # targeted mutations of a valid container: size fields, fourccs
+        nprng = np.random.RandomState(3)
+        img = nprng.randint(0, 255, (9, 13, 3)).astype(np.uint8)
+        from grafeo_memory_spark.pipeline.jpeg import encode_jpeg
+
+        base = bytearray(encode_avi_mjpeg([encode_jpeg(img)] * 2, 13, 9, 10))
+        import random
+
+        rng = random.Random(19)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                i = rng.randrange(len(b))
+                b[i] = rng.randrange(256)
+            try:
+                parse_avi_frames(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
     def test_probe_images_prunes_before_decode(self, spark):
         from grafeo_memory_spark.pipeline.multimodal import probe_images
 
