@@ -373,6 +373,34 @@ def q_community_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_extra("cc_distributed")
+def q_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components scale shape — `community_membership`'s
+    pointer-jumping min-label loop with ``driver_edge_threshold=0``,
+    forcing the distributed path (one neighbor-min aggregation + one
+    pointer-jump join per round, eager localCheckpoint). r9 routed every
+    fixture through the union-find driver gate, so the loop that
+    actually runs on a 100-TB near-dup pair set had no number; this row
+    keeps it measured every round like its pagerank/betweenness/LPA
+    siblings (VERDICT r9 item 6). Bit-exact parity of the two paths is
+    pinned by `test_connected_components_paths_agree` and the shared
+    recursive-CTE oracle of `community_membership`."""
+    edges = load_fixture(spark, sf_dir, "edges").where(
+        F.col("edge_type") == "RELATION"
+    )
+    sym = edges.select(F.col("src").alias("node_id"), F.col("dst").alias("nbr"))
+    sym = sym.unionByName(
+        edges.select(F.col("dst").alias("node_id"), F.col("src").alias("nbr"))
+    ).distinct()
+    comp = connected_components(sym, driver_edge_threshold=0)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.col("component").asc())
+    )
+
+
 def _betweenness_oracle_sql(
     max_depth: int = 6, n_sources: int = 64, k: int = 25
 ) -> str:
