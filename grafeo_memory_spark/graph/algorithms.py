@@ -1403,7 +1403,8 @@ def k_core(
     peel depth, typically far below diameter.
     """
     cur = _und_simple(edges, symmetrized).localCheckpoint(eager=True)
-    if driver_edge_threshold and cur.count() <= driver_edge_threshold:
+    cur_count = cur.count()
+    if driver_edge_threshold and cur_count <= driver_edge_threshold:
         from collections import Counter, defaultdict
 
         nbrs: dict = defaultdict(set)
@@ -1449,10 +1450,13 @@ def k_core(
             .join(keep.select(F.col("n").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == cur.count():
+        # carry the previous round's size instead of re-counting the
+        # checkpointed frame — one count job per peel round, not two
+        nxt_count = nxt.count()
+        if nxt_count == cur_count:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_count = nxt, nxt_count
     return cur.groupBy(F.col("src").alias("node_id")).agg(
         F.count("*").alias("core_degree")
     )

@@ -241,7 +241,21 @@ def main() -> None:
     event_ops = {"sessionize": _sessionize, "asof_join": _asof}
     # force the distributed plans: the probe measures the 100-TB wedge
     # shapes, not the r9 gated numpy fast paths
-    from grafeo_memory_spark.graph.algorithms import adamic_adar
+    from grafeo_memory_spark.communities import connected_components
+    from grafeo_memory_spark.graph.algorithms import (
+        adamic_adar,
+        label_propagation,
+    )
+
+    def _cc(e):
+        # the disjoint replica copies keep component count scaling with
+        # data while round count stays ~log(diameter), so the exponent
+        # isolates the per-round neighbor-min + pointer-jump shuffles
+        sym = e.select(F.col("src").alias("node_id"), F.col("dst").alias("nbr"))
+        sym = sym.unionByName(
+            e.select(F.col("dst").alias("node_id"), F.col("src").alias("nbr"))
+        ).distinct()
+        return connected_components(sym, driver_edge_threshold=0)
 
     edge_ops = {
         "triangle_count": lambda e: triangle_count(
@@ -249,6 +263,12 @@ def main() -> None:
         ),
         "adamic_adar": lambda e: adamic_adar(
             e, top_k=20, driver_edge_threshold=0
+        ),
+        # r10: the two remaining per-round loop shapes without an
+        # exponent — pointer-jumping CC and the fused one-exchange LPA
+        "connected_components": _cc,
+        "lpa": lambda e: label_propagation(
+            e, max_iter=5, driver_edge_threshold=0
         ),
     }
 
