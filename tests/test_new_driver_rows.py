@@ -38,6 +38,7 @@ def test_bench_extras_outside_correctness_window():
         "pagerank_distributed",
         "betweenness_distributed",
         "lpa_distributed",
+        "cc_distributed",
     }
     assert not set(BENCH_EXTRAS) & set(QUERIES)
 
