@@ -515,3 +515,38 @@ def test_symmetrized_fast_path_agrees(spark):
         assert sorted(map(tuple, private.collect())) == sorted(
             map(tuple, shared.collect())
         )
+
+
+def test_distributed_paths_handle_empty_graph(spark):
+    """Forcing the distributed loops (driver_edge_threshold=0) on an
+    empty edge list must return an empty result, not error — the r10
+    fused per-level aggregations introduced sentinel unions whose
+    degenerate (zero-row) shapes this pins. The gated driver paths get
+    the same check via the default threshold."""
+    from grafeo_memory_spark.communities import connected_components
+    from grafeo_memory_spark.graph.algorithms import (
+        betweenness_centrality,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    sym = spark.createDataFrame([], "node_id long, nbr long")
+    for thresh in (0, 1_000_000):
+        assert pagerank(edges, driver_edge_threshold=thresh).count() == 0
+        assert (
+            label_propagation(
+                edges, max_iter=3, driver_edge_threshold=thresh
+            ).count()
+            == 0
+        )
+        assert (
+            betweenness_centrality(
+                edges, max_depth=3, driver_edge_threshold=thresh
+            ).count()
+            == 0
+        )
+        assert (
+            connected_components(sym, driver_edge_threshold=thresh).count()
+            == 0
+        )
