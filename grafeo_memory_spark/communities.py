@@ -295,11 +295,13 @@ def connected_components(
     quotient pulls elsewhere. Above the threshold (or with the gate
     disabled via ``driver_edge_threshold=0``) the distributed loop
     below runs unchanged — that is the 100-TB path, and the two paths
-    agree bit-for-bit. The gate is ONE bounded ``limit(threshold+1)``
-    collect reused as the driver path's input (r10, same single-job
-    probe as the graph-algorithm gates): the pair plan executes once,
-    and the driver can never receive more than ``threshold + 1`` rows
-    even from a nondeterministic or growing source.
+    agree bit-for-bit. The gate (r10, same two-tier shape as the
+    graph-algorithm `_driver_gate`): a ``limit(threshold+1).count()``
+    probe rejects over-threshold pair sets for the price of one count —
+    no rows ship on the at-scale path — and the collect that follows is
+    itself ``limit``-bounded and length-re-checked, so the driver can
+    never receive more than ``threshold + 1`` rows even from a
+    nondeterministic or growing source (ADVICE r9).
 
     Scale shape: each round is a neighbor-min join + agg PLUS a
     pointer-jumping join (``component[component[x]]`` — the hash-to-min
@@ -314,11 +316,13 @@ def connected_components(
     never undershoot the component's true min id (the fixpoint the
     recursive-CTE oracle checks is unchanged).
     """
-    gated_rows = (
-        edges_sym.limit(driver_edge_threshold + 1).collect()
-        if driver_edge_threshold
-        else None
-    )
+    gated_rows = None
+    if (
+        driver_edge_threshold
+        and edges_sym.limit(driver_edge_threshold + 1).count()
+        <= driver_edge_threshold
+    ):
+        gated_rows = edges_sym.limit(driver_edge_threshold + 1).collect()
     if gated_rows is not None and len(gated_rows) <= driver_edge_threshold:
         parent: dict = {}
 

@@ -74,18 +74,27 @@ def _und_simple(edges: DataFrame, symmetrized: bool) -> DataFrame:
 
 
 def _driver_gate(edges: DataFrame, threshold: int):
-    """Single-job probe + collect for the gated driver fast paths.
+    """Bounded probe + collect for the gated driver fast paths.
 
-    Collects at most ``threshold + 1`` (src, dst) rows in ONE bounded
-    job and returns the int64 ``(n, 2)`` array when the whole edge list
-    fit (``n <= threshold``), else ``None``. The former two-job shape —
-    ``limit(threshold+1).count()`` then an unbounded ``toPandas()`` —
-    executed the plan twice: a nondeterministic or growing source could
-    pass the count and the second job would then ship arbitrarily more
-    than ``threshold`` rows to the driver (ADVICE r9). Here the driver
-    can never receive more than ``threshold + 1`` rows, and passing
-    graphs save a full scheduling round-trip."""
+    Returns the int64 ``(n, 2)`` array of (src, dst) when the whole
+    edge list fits under ``threshold`` rows, else ``None``. Two safety/
+    cost properties, both load-bearing:
+
+    - The rejection path ships ONE count, not rows: at 100-TB scale the
+      gate always fails, and a collect-first probe would ship
+      ``threshold + 1`` rows (~16 MB at the 1M default) to the driver
+      on every call just to decide. The ``limit(threshold+1).count()``
+      probe is the cheap first tier.
+    - The collect itself is ``limit(threshold + 1)``-bounded AND
+      re-checked (ADVICE r9): the plan executes twice, so a
+      nondeterministic or growing source can pass the count and then
+      return more rows — the limit caps what the driver can ever
+      receive at ``threshold + 1``, and the length re-check falls back
+      to the distributed path instead of silently driver-solving a
+      graph bigger than the gate promised."""
     if not threshold:
+        return None
+    if edges.limit(threshold + 1).count() > threshold:
         return None
     import numpy as np
 
@@ -163,9 +172,11 @@ def pagerank(
     on a sub-million-edge graph. ``driver_edge_threshold=0`` forces
     the distributed loop; a randomized parity test
     (`test_pagerank_driver_matches_distributed`) pins the two paths to
-    each other. The gate is :func:`_driver_gate` — ONE bounded
-    ``limit(threshold+1)`` collect, never a full materialization of a
-    100-TB edge list just to decide the path (r10; ADVICE r9).
+    each other. The gate is :func:`_driver_gate` — a bounded count
+    probe (the at-scale rejection ships one long, not rows) followed by
+    a ``limit``-bounded, length-re-checked collect, never a full
+    materialization of a 100-TB edge list just to decide the path
+    (r10; ADVICE r9).
     """
     edge_np = _driver_gate(edges, driver_edge_threshold)
     if edge_np is not None:
