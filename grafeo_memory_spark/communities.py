@@ -317,12 +317,17 @@ def connected_components(
     recursive-CTE oracle checks is unchanged).
     """
     gated_rows = None
+    # Prune to the two key columns BEFORE the probe/collect (ADVICE
+    # r10): a caller passing a wide pair frame must not ship
+    # threshold+1 full rows to the driver — only (node_id, nbr) ever
+    # leaves the cluster, and the select lets the scan prune too.
+    key_edges = edges_sym.select("node_id", "nbr")
     if (
         driver_edge_threshold
-        and edges_sym.limit(driver_edge_threshold + 1).count()
+        and key_edges.limit(driver_edge_threshold + 1).count()
         <= driver_edge_threshold
     ):
-        gated_rows = edges_sym.limit(driver_edge_threshold + 1).collect()
+        gated_rows = key_edges.limit(driver_edge_threshold + 1).collect()
     if gated_rows is not None and len(gated_rows) <= driver_edge_threshold:
         parent: dict = {}
 

@@ -231,6 +231,27 @@ def _find(data: bytes, pos: int, end: int, path: list[bytes]):
     return None
 
 
+class _Repeat:
+    """O(1)-memory stand-in for ``[value] * n`` (fixed-size stsz).
+
+    A corrupt-but-plausible sample count in a legitimately large
+    payload must never materialize a count-sized Python list (~8 B
+    per entry) before the mdat walk validates it — the walk only
+    needs ``len()`` and indexed reads.
+    """
+
+    __slots__ = ("value", "n")
+
+    def __init__(self, value: int, n: int):
+        self.value, self.n = value, n
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i) -> int:
+        return self.value
+
+
 def _parse_stbl(data: bytes, pos: int, end: int):
     """stbl body → (codec_fourcc, sizes, chunk_offsets, stsc_runs)."""
     codec = None
@@ -246,16 +267,17 @@ def _parse_stbl(data: bytes, pos: int, end: int):
             fixed = _U32.unpack_from(data, b + 4)[0]
             n = _U32.unpack_from(data, b + 8)[0]
             if fixed:
-                # Every sample occupies >=1 byte of mdat, so a count
-                # beyond the whole payload is physically impossible —
-                # reject before `[fixed] * n` turns a 4-byte corruption
-                # into a multi-GB allocation (per-row error, never an
-                # executor OOM).
-                if n > len(data):
+                # Every sample occupies `fixed` bytes of mdat, which
+                # lives inside this payload, so a count whose total
+                # size exceeds the payload is physically impossible —
+                # reject the 4-byte corruption as a per-row error. The
+                # surviving list is lazy (_Repeat) so even a plausible
+                # count costs O(1) memory, never ~8 B/entry up front.
+                if fixed * n > len(data):
                     raise ValueError(
                         "corrupt MP4 payload: implausible sample count"
                     )
-                sizes = [fixed] * n
+                sizes = _Repeat(fixed, n)
             else:
                 if b + 12 + 4 * n > e:
                     raise ValueError(

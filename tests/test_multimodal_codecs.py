@@ -634,6 +634,17 @@ class TestHeaderProbe:
         with pytest.raises(ValueError, match="implausible"):
             parse_mp4_frames(bytes(b))
 
+        # stsz fixed-size path, ADVICE r10 refinement: a count that is
+        # <= len(payload) (so it passed the r9 bound) but whose TOTAL
+        # claimed bytes (fixed * n) exceed the payload must still be a
+        # per-row error — at real video sizes the old bound admitted a
+        # ~8x-payload-size list allocation.
+        b = bytearray(base)
+        b[s + 4 : s + 8] = struct.pack(">I", 100)  # fixed sample size
+        b[s + 8 : s + 12] = struct.pack(">I", len(base) - 1)
+        with pytest.raises(ValueError, match="implausible"):
+            parse_mp4_frames(bytes(b))
+
         # stsz variable path: count far past the box body
         b = bytearray(base)
         b[s + 8 : s + 12] = huge

@@ -328,6 +328,14 @@ def test_connected_components_paths_agree(spark):
     comp = dict(fast)
     assert comp[40] == 0 and comp[104] == 100 and comp[301] == 300
 
+    # A wide pair frame (extra payload columns) must work unchanged —
+    # the gate prunes to (node_id, nbr) before the driver collect
+    # (ADVICE r10), so extra columns neither ship nor perturb results.
+    wide = sym.withColumn("payload", F.lit("x" * 64))
+    assert {
+        (r[0], r[1]) for r in connected_components(wide).collect()
+    } == fast
+
 
 def test_near_dedup_end_to_end(docs):
     # 1/2/3/4 form one fuzzy cluster (exact dups + near dup), 5 stands

@@ -156,7 +156,10 @@ def test_filter_domains_table_broadcast_knob(spark):
     )
     doms = spark.createDataFrame([("example.net",)], "domain string")
     # Disable size-based auto-broadcast so the plan shape reflects the
-    # knob alone (a 1-row test table would otherwise be auto-broadcast).
+    # knob alone (a 1-row test table would otherwise be auto-broadcast);
+    # restore whatever threshold the shared session carried, not a
+    # hardcoded default.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         out = filter_domains_table(
@@ -173,7 +176,7 @@ def test_filter_domains_table_broadcast_knob(spark):
         )
         assert "BroadcastHashJoin" in bplan or "BroadcastExchange" in bplan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_filter_domains_table_dom_column_collision(spark):
