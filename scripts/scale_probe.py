@@ -122,6 +122,33 @@ def main() -> None:
         df.withColumn("key", content_hash(F.col("text"))), "key", bloom
     )
 
+    # hybrid text retrieval (r11): the scale-bearing legs of the
+    # hybrid_search plan — inverted-index build (tokenize + explode +
+    # two groupBys), the BM25 term-stats aggregate over the candidate
+    # postings, the two capped rank legs, and the RRF fuse. The exact
+    # cosine re-rank of the driver query is top-k-bounded (O(k) rows),
+    # so it cannot carry an exponent and is left out.
+    from grafeo_memory_spark.functions.text import (
+        bm25_scores,
+        build_text_index,
+        rank_by,
+        rrf_fuse,
+    )
+
+    def _hybrid_bm25(df):
+        index = build_text_index(df, "doc_id", "text")
+        lex = rank_by(
+            bm25_scores(index, ["spark", "query", "window"]),
+            F.col("bm25"), "id", "rank_a", limit=100,
+        )
+        rec = rank_by(
+            df.select(F.col("doc_id").alias("id")),
+            F.col("id").cast("double"), "id", "rank_b", limit=100,
+        )
+        return rrf_fuse(lex, rec)
+
+    ops["hybrid_bm25_rrf"] = _hybrid_bm25
+
     # embedding-based ops (r9): ivf_assign is the map-only codebook
     # argmax (fold-budget rework r9 — norm projected once per row,
     # centroid norms driver-side literals), semdedup the full
@@ -257,6 +284,35 @@ def main() -> None:
         ).distinct()
         return connected_components(sym, driver_edge_threshold=0)
 
+    # r11: the last two forced-distributed loops without an exponent —
+    # pagerank's power iteration and the multi-source Brandes BFS.
+    from grafeo_memory_spark.graph.algorithms import (
+        betweenness_centrality,
+        pagerank,
+    )
+
+    # 16 base source ids, re-selected inside each replica via the
+    # replica offset (src % 100_000_000 recovers the base id): the N×
+    # run BFSes 16 sources per replica, so sampled-Brandes work scales
+    # WITH the data — the honest at-scale reading of a fixed sampling
+    # rate — instead of pinning 16 sources into replica 0 only.
+    _src_cut = int(
+        edge_base.select("src").distinct().orderBy("src").limit(16)
+        .agg(F.max("src")).collect()[0][0]
+    )
+
+    def _betweenness(e):
+        srcs = [
+            int(r[0])
+            for r in e.select("src")
+            .where((F.col("src") % 100_000_000) <= _src_cut)
+            .distinct()
+            .collect()
+        ]
+        return betweenness_centrality(
+            e, sources=srcs, max_depth=6, driver_edge_threshold=0
+        )
+
     edge_ops = {
         "triangle_count": lambda e: triangle_count(
             e, driver_edge_threshold=0
@@ -270,6 +326,13 @@ def main() -> None:
         "lpa": lambda e: label_propagation(
             e, max_iter=5, driver_edge_threshold=0
         ),
+        # fixed round count (tol=0.0) so 1× and N× run identical
+        # iteration counts and the exponent isolates the per-round
+        # message shuffle, not convergence dynamics
+        "pagerank": lambda e: pagerank(
+            e, max_iter=8, tol=0.0, driver_edge_threshold=0
+        ),
+        "betweenness": _betweenness,
     }
 
     small = replicate(1)
