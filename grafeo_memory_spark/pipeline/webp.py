@@ -286,6 +286,34 @@ def decode_webp(payload: bytes) -> np.ndarray:
     out = np.zeros((npix, 4), dtype=np.uint8)  # R,G,B,A
     cache = [0] * cache_size
     i = 0
+    # Degenerate-but-legal VP8L: all four channel codes single-symbol
+    # literals (solid-color image) — every pixel then decodes from ZERO
+    # bits, so the per-pixel loop below would spin npix times reading
+    # nothing. Fill vectorized instead; this is both the solid-color
+    # fast path and the guard that a payload with maxed 14-bit dims
+    # (268M pixels) cannot buy a quarter-billion-iteration Python loop
+    # for free.
+    g0 = green_tbl.get((0, 0))
+    if (
+        g0 is not None
+        and g0 < 256
+        and (0, 0) in red_tbl
+        and (0, 0) in blue_tbl
+        and (0, 0) in alpha_tbl
+    ):
+        out[:] = (
+            red_tbl[(0, 0)], g0, blue_tbl[(0, 0)], alpha_tbl[(0, 0)],
+        )
+        i = npix
+    elif (
+        g0 is not None
+        and g0 >= 256 + 24
+        and g0 - (256 + 24) < cache_size
+    ):
+        # Same zero-bit trap via a cache-hit green code: no literal can
+        # ever decode, so the cache slot stays zero and every pixel is
+        # transparent black — out is already zero-filled.
+        i = npix
     while i < npix:
         sym = _read_symbol(reader, green_tbl)
         if sym < 256:
@@ -327,11 +355,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
                       argb & 0xFF, (argb >> 24) & 0xFF)
             i += 1
 
-    img = out.reshape(h, w, 4).astype(np.int32)
+    img = out.reshape(h, w, 4)
     if subtract_green:
-        img[:, :, 0] = (img[:, :, 0] + img[:, :, 1]) & 0xFF
-        img[:, :, 2] = (img[:, :, 2] + img[:, :, 1]) & 0xFF
-    return img.astype(np.uint8)
+        # uint8 addition wraps mod 256 — identical to the spec's
+        # (x + green) & 0xFF, in place, without materializing the 4x
+        # int32 copy (peak memory for a max-dims image drops ~5x; the
+        # pixel buffer is the format-capped 16384^2 x 4 = 1 GB).
+        img[:, :, 0] += img[:, :, 1]
+        img[:, :, 2] += img[:, :, 1]
+    return img
 
 
 # ------------------------------------------------------------- encode

@@ -677,6 +677,132 @@ class TestHeaderProbe:
         except (ValueError, NotImplementedError):
             pass
 
+    def test_webp_vp8l_targeted_fuzz_preserving_header(self):
+        """Targeted fuzz for the lossless-WebP decoder (VERDICT r10
+        item 6): the generic fuzz mutates anywhere, so most samples die
+        at the RIFF magic check and never reach the VP8L entropy
+        decoder. Here the 20-byte container header and the 0x2F
+        signature survive every mutation, so the prefix-code reader,
+        the dimension fields, the transform/cache headers, and the
+        pixel loop all get hit — faults must surface as ValueError or
+        NotImplementedError, and the zero-bit degenerate paths
+        (single-symbol literal / cache-hit green codes) must terminate
+        instead of spinning npix iterations."""
+        import random
+
+        from grafeo_memory_spark.pipeline.multimodal import decode_image
+        from grafeo_memory_spark.pipeline.webp import encode_webp_lossless
+
+        nprng = np.random.RandomState(7)
+        # two bases: random pixels (full prefix tables) and near-solid
+        # (short tables, more simple-code headers to corrupt)
+        noisy = nprng.randint(0, 255, (24, 17, 4)).astype(np.uint8)
+        flat = np.full((24, 17, 4), 200, np.uint8)
+        flat[0, 0] = (1, 2, 3, 255)
+        bases = [encode_webp_lossless(noisy), encode_webp_lossless(flat)]
+        rng = random.Random(59)
+        for _ in range(800):
+            b = bytearray(rng.choice(bases))
+            for _ in range(rng.randrange(1, 6)):
+                op = rng.randrange(3)
+                if op == 0:
+                    b[rng.randrange(21, len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 30:
+                    del b[rng.randrange(22, len(b)):]
+                else:
+                    b += bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(1, 5))
+                    )
+            try:
+                decode_image(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_wav_targeted_fuzz_preserving_header(self):
+        """Targeted fuzz for the WAV feature kernel: the RIFF/WAVE
+        magic survives, so stdlib wave's chunk walker and the
+        numpy frombuffer/reshape paths get exercised — corrupt chunk
+        sizes, fmt fields, and truncated data chunks must surface as
+        ValueError or NotImplementedError, never a leaked wave.Error /
+        struct.error / numpy ValueError-with-traceback-in-task."""
+        import random
+
+        from grafeo_memory_spark.pipeline.multimodal import (
+            real_audio_features,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(2)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack("<128h", *([1024, -512] * 64)))
+        base = buf.getvalue()
+        rng = random.Random(61)
+        for _ in range(800):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                op = rng.randrange(3)
+                if op == 0:
+                    b[rng.randrange(12, len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 20:
+                    del b[rng.randrange(13, len(b)):]
+                else:
+                    b += bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(1, 5))
+                    )
+            try:
+                real_audio_features(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_webp_dim_field_corruption_bounded(self):
+        """Blowing the 14-bit VP8L width/height fields to their maxima
+        must stay a bounded per-row outcome: either a ValueError (the
+        entropy data can't fill 268M pixels) or a legal solid-color
+        decode via the vectorized degenerate path — never a
+        quarter-billion-iteration Python loop. Pin with a wall-clock
+        budget."""
+        import time
+
+        from grafeo_memory_spark.pipeline.multimodal import decode_image
+        from grafeo_memory_spark.pipeline.webp import encode_webp_lossless
+
+        img = np.full((5, 7, 4), 33, np.uint8)
+        b = bytearray(encode_webp_lossless(img))
+        # VP8L header: data[0]=0x2F, then 14 bits (w-1), 14 bits (h-1)
+        # LSB-first, 1 alpha bit, 3 version bits. Max both dims while
+        # keeping version=0 (byte 24 top 3 bits clear) so the decode
+        # proceeds past the header into the 268M-pixel decode attempt.
+        b[21:24] = b"\xff\xff\xff"
+        b[24] = 0x1F
+        t0 = time.monotonic()
+        try:
+            decode_image(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        assert time.monotonic() - t0 < 30.0
+        # and the all-0xFF variant (corrupt version bits) — immediate
+        # ValueError before any allocation
+        b[21:25] = b"\xff\xff\xff\xff"
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image(bytes(b))
+
+    def test_webp_solid_image_round_trip_fast_path(self):
+        """A solid-color image round-trips through the single-symbol
+        vectorized fill (the degenerate fast path is also the correct
+        decode for real solid images)."""
+        from grafeo_memory_spark.pipeline.webp import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+
+        img = np.full((11, 6, 4), 0, np.uint8)
+        img[:, :] = (9, 120, 250, 255)
+        out = decode_webp(encode_webp_lossless(img))
+        assert out.shape == (11, 6, 4)
+        assert (out == img).all()
+
     def test_avi_deep_rec_nesting_no_recursion_leak(self):
         """A few-KB payload can nest `rec ` LISTs thousands deep; the
         movi walk must be stack-safe (iterative) and any residual
