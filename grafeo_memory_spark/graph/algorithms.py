@@ -629,7 +629,12 @@ def louvain(
     modularity quality is not worth the extra work.
     """
     und = _undirected(edges).localCheckpoint()
-    two_m = float(und.count())
+    # ONE aggregate job for both loop-gate scalars (r11; was a count
+    # job plus a countDistinct job)
+    stats = und.agg(
+        F.count("*").alias("n2m"), F.count_distinct("src").alias("nc")
+    ).first()
+    two_m = float(stats["n2m"])
     if two_m == 0 or max_iter <= 0:
         return (
             und.select(F.col("src").alias("node_id"))
@@ -640,13 +645,22 @@ def louvain(
     budget = max_iter
     # identity labels stay implicit until the first coarsening round:
     # the common straight-to-driver path (quotient already under the
-    # collect threshold) pays ONE countDistinct aggregate instead of a
+    # collect threshold) pays one combined aggregate instead of a
     # distinct+checkpoint+count and two identity self-joins (r9)
-    n_comm = int(und.select(F.count_distinct("src").alias("n")).first()["n"])
+    n_comm = int(stats["nc"])
     labels: DataFrame | None = None
-    deg = und.groupBy(F.col("src").alias("node_id")).agg(
-        F.count("*").alias("deg")
-    )
+    # Loop-carried quotient state (r11): the coarsening loop folds the
+    # QUOTIENT graph forward — qedges (ca, cb, w; both directions, self
+    # rows carry intra-community weight) and qdeg (community, deg_c) —
+    # so each merge round relabels + re-aggregates the geometrically
+    # shrinking quotient instead of re-joining the FULL edge list
+    # against the labels. At 100 TB the raw edges are touched exactly
+    # once (the initialization aggregate below); every later round's
+    # shuffles are quotient-sized. Values are integer counts/sums, so
+    # the carried aggregates are bit-identical to recomputing from
+    # scratch and the merge sequence is unchanged.
+    qedges: DataFrame | None = None
+    qdeg: DataFrame | None = None
     coarsened = False
     rounds_done = 0
     while budget > 0 and (
@@ -661,27 +675,25 @@ def louvain(
                 .withColumn("community", F.col("node_id"))
                 .localCheckpoint()
             )
-        lab_src = labels.withColumnRenamed("node_id", "src").withColumnRenamed(
-            "community", "ca"
-        )
-        lab_dst = labels.withColumnRenamed("node_id", "dst").withColumnRenamed(
-            "community", "cb"
-        )
+        if qedges is None:
+            # the single full-edge-list aggregate of the whole loop:
+            # identity labels make the quotient the deduped undirected
+            # edge multiset, and node degrees are its row counts
+            qedges = und.groupBy(
+                F.col("src").alias("ca"), F.col("dst").alias("cb")
+            ).agg(F.count("*").alias("w")).localCheckpoint()
+            qdeg = qedges.groupBy(F.col("ca").alias("community")).agg(
+                F.sum("w").alias("deg_c")
+            ).localCheckpoint()
         # quotient-graph inter-community edge weights; each undirected
-        # edge contributes its two symmetric rows, so e_ab arrives
-        # already counted once per direction
-        inter = (
-            und.join(lab_src, "src")
-            .join(lab_dst, "dst")
-            .where(F.col("ca") != F.col("cb"))
-            .groupBy("ca", "cb")
-            .agg((F.count("*")).alias("e_ab"))
+        # edge contributed its two symmetric rows, so e_ab is already
+        # counted once per direction. Self rows (intra weight) are
+        # excluded from the gain scoring but stay in qedges for the
+        # final driver collect.
+        inter = qedges.where(F.col("ca") != F.col("cb")).select(
+            "ca", "cb", F.col("w").alias("e_ab")
         )
-        deg_c = (
-            deg.join(labels, "node_id")
-            .groupBy("community")
-            .agg(F.sum("deg").alias("deg_c"))
-        )
+        deg_c = qdeg
         pairs = (
             inter.join(deg_c.withColumnRenamed("community", "ca")
                        .withColumnRenamed("deg_c", "da"), "ca")
@@ -733,7 +745,43 @@ def louvain(
             )
             .localCheckpoint()
         )
-        n_comm = labels.select("community").distinct().count()
+        # fold the quotient forward through the merge map: relabel both
+        # endpoints, re-aggregate — intra edges of a merged pair become
+        # (c, c) self rows carrying the intra weight, exactly what the
+        # driver solver expects. The merge map is ≤ n_comm/2 rows.
+        mk_a = merges.withColumnRenamed("merge", "ca").withColumnRenamed(
+            "keep", "ka"
+        )
+        mk_b = merges.withColumnRenamed("merge", "cb").withColumnRenamed(
+            "keep", "kb"
+        )
+        qedges = (
+            qedges.join(mk_a, "ca", "left")
+            .join(mk_b, "cb", "left")
+            .groupBy(
+                F.coalesce(F.col("ka"), F.col("ca")).alias("ca"),
+                F.coalesce(F.col("kb"), F.col("cb")).alias("cb"),
+            )
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+        qdeg = (
+            qdeg.join(
+                merges.withColumnRenamed("merge", "community"),
+                "community",
+                "left",
+            )
+            .groupBy(
+                F.coalesce(F.col("keep"), F.col("community")).alias(
+                    "community"
+                )
+            )
+            .agg(F.sum("deg_c").alias("deg_c"))
+            .localCheckpoint()
+        )
+        # one row per community with ≥1 incident edge — every node has
+        # one (und is built from real edges), so this is n_comm
+        n_comm = qdeg.count()
     if budget <= 0 or n_comm > driver_max_nodes:
         return labels
     if labels is None:
@@ -743,18 +791,9 @@ def louvain(
             F.col("src").alias("ca"), F.col("dst").alias("cb")
         ).agg(F.count("*").alias("w"))
     else:
-        lab_src = labels.withColumnRenamed(
-            "node_id", "src"
-        ).withColumnRenamed("community", "ca")
-        lab_dst = labels.withColumnRenamed(
-            "node_id", "dst"
-        ).withColumnRenamed("community", "cb")
-        quotient = (
-            und.join(lab_src, "src")
-            .join(lab_dst, "dst")
-            .groupBy("ca", "cb")
-            .agg(F.count("*").alias("w"))
-        )
+        # the loop already carries the coarsened quotient — collect it
+        # directly instead of re-joining the full edge list
+        quotient = qedges
     rows = [
         (r["ca"], r["cb"], float(r["w"])) for r in quotient.collect()
     ]

@@ -413,6 +413,35 @@ class TestDistributedPreCoarsening:
         # still a valid total assignment of the same node set
         assert base.count() == pre.count()
 
+    def test_precoarsen_random_graph_multi_round_carry(self, spark):
+        """r11 quotient-carry pin: with 1-3 FORCED coarsening rounds the
+        loop folds qedges/qdeg through successive merge maps (self rows
+        accumulating intra weight) instead of re-joining the raw edge
+        list — quality and assignment validity must hold on a
+        nontrivial random graph, not just the fixture."""
+        import random
+
+        rng = random.Random(13)
+        edges = set()
+        for base in (0, 20, 40):  # three planted communities
+            for _ in range(60):
+                a, b = rng.randrange(20), rng.randrange(20)
+                if a != b:
+                    edges.add((base + a, base + b))
+        for _ in range(15):  # sparse noise between them
+            a, b = rng.randrange(60), rng.randrange(60)
+            if a != b:
+                edges.add((a, b))
+        e = spark.createDataFrame(sorted(edges), "src long, dst long")
+        base_labels = louvain(e, max_iter=10)
+        q0 = modularity(e, base_labels)
+        n = base_labels.count()
+        for rounds in (1, 2, 3):
+            lab = louvain(e, max_iter=10, min_distributed_rounds=rounds)
+            assert lab.count() == n
+            q = modularity(e, lab)
+            assert q >= q0 - 0.02, (rounds, q0, q)
+
     def test_default_rounds_zero_matches_legacy(self, spark):
         e = _edges(spark, _TWO_CLIQUES)
         a = sorted(map(tuple, louvain(e).collect()))
