@@ -105,7 +105,11 @@ def check(md_path: Path) -> list[str]:
                 continue
             if symgroup:
                 body = _range_text(file_lines(path), ranges)
-                for sym in re.findall(r"`([^`]+)`", symgroup):
+                # only the LEADING backtick run names symbols-in-range;
+                # later backticked tokens are prose (bench-row names,
+                # other files' symbols)
+                lead = re.match(r"(?:\s*`[^`]+`[/,\s]*)+", symgroup)
+                for sym in re.findall(r"`([^`]+)`", lead.group(0) if lead else ""):
                     if not _IDENT.match(sym):
                         continue  # prose fragment, not a symbol
                     missing = [
