@@ -435,11 +435,22 @@ def label_propagation(
     return labels
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> float:
+def modularity(
+    edges: DataFrame, labels: DataFrame, symmetrized: bool = False
+) -> float:
     """Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²] of a partition
     over the undirected simple graph; used by the Louvain invariant
     tests (non-decreasing per merge round) and the driver query's
     structural oracle.
+
+    ``symmetrized=True`` promises the input is already the
+    :func:`_undirected` edge set — both directions present exactly
+    once (self-loops, if any, one row each) — so callers that feed
+    both :func:`louvain` and this function pay the full-edge
+    symmetrize+distinct shuffle ONCE instead of once per call (at
+    100 TB that shuffle is the dominant fixed cost of the community
+    query). Unlike :func:`_und_simple`'s promise this one keeps
+    self-loops, matching the default path bit-for-bit.
 
     ONE aggregation job: per-community degree and intra-row counts in
     the same groupBy — 2m, the intra-edge total, and the degree term
@@ -450,7 +461,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
     pass ENFORCES it: the joins are outer, so an uncovered endpoint
     groups under a NULL community and raises instead of silently
     computing Q against the wrong 2m."""
-    und = _undirected(edges)
+    und = edges.select("src", "dst") if symmetrized else _undirected(edges)
     lab = labels.select("node_id", "community")
     rows = (
         und.join(
@@ -585,6 +596,7 @@ def louvain(
     max_iter: int = 20,
     driver_max_nodes: int = 200_000,
     min_distributed_rounds: int = 0,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """G3 — modularity-greedy community detection (reference Louvain,
     `protocol.py:43`, consumed by `communities.py:32-200`); returns
@@ -627,8 +639,19 @@ def louvain(
     unit of budget and never decreases Q). Deterministic throughout.
     LPA (`label_propagation`) remains the cheaper fallback where
     modularity quality is not worth the extra work.
+
+    ``symmetrized=True`` is the same promise as :func:`modularity`'s:
+    the input is already the :func:`_undirected` edge set (both
+    directions exactly once). The symmetrize+distinct shuffle AND the
+    internal checkpoint are skipped — callers sharing one undirected
+    set across louvain + modularity should ``localCheckpoint`` it
+    themselves once.
     """
-    und = _undirected(edges).localCheckpoint()
+    und = (
+        edges.select("src", "dst")
+        if symmetrized
+        else _undirected(edges).localCheckpoint()
+    )
     # ONE aggregate job for both loop-gate scalars (r11; was a count
     # job plus a countDistinct job)
     stats = und.agg(

@@ -279,7 +279,13 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = load_fixture(spark, sf_dir, "edges").where(
         F.col("edge_type") == "RELATION"
     )
-    labels = louvain(edges, max_iter=10)
+    # symmetrize ONCE and share across louvain + the modularity audit
+    # (r11): at scale the symmetrize+distinct is a full shuffle of the
+    # edge list, previously paid twice in this query
+    from grafeo_memory_spark.graph.algorithms import _undirected
+
+    und = _undirected(edges).localCheckpoint()
+    labels = louvain(und, max_iter=10, symmetrized=True)
     out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
     fresh = {
         (r["node_id"], r["community"]) for r in labels.collect()
@@ -306,7 +312,7 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.replace(p, os.path.join(out_dir, "labels.parquet"))
             elif not f.endswith(".parquet"):
                 os.remove(p)
-    q = round(modularity(edges, labels), 6)
+    q = round(modularity(und, labels, symmetrized=True), 6)
     return (
         labels.groupBy("community")
         .agg(F.count("*").alias("n_members"))

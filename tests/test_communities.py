@@ -447,3 +447,23 @@ class TestDistributedPreCoarsening:
         a = sorted(map(tuple, louvain(e).collect()))
         b = sorted(map(tuple, louvain(e, min_distributed_rounds=0).collect()))
         assert a == b
+
+    def test_symmetrized_promise_parity_including_self_loops(self, spark):
+        """r11 shared-undirected promise: feeding the precomputed
+        _undirected set with symmetrized=True must reproduce the
+        default path bit-for-bit for BOTH louvain and modularity —
+        including a self-loop, which _undirected keeps (one row) and
+        which the promise therefore must keep too."""
+        from grafeo_memory_spark.graph.algorithms import _undirected
+
+        e = _edges(spark, _TWO_CLIQUES + [(3, 3)])
+        und = _undirected(e).localCheckpoint()
+        base = sorted(map(tuple, louvain(e).collect()))
+        shared = sorted(
+            map(tuple, louvain(und, symmetrized=True).collect())
+        )
+        assert base == shared
+        lab = louvain(e)
+        q_default = modularity(e, lab)
+        q_shared = modularity(und, lab, symmetrized=True)
+        assert q_default == q_shared
