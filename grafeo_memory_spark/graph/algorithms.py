@@ -683,7 +683,6 @@ def louvain(
     # the carried aggregates are bit-identical to recomputing from
     # scratch and the merge sequence is unchanged.
     qedges: DataFrame | None = None
-    qdeg: DataFrame | None = None
     coarsened = False
     rounds_done = 0
     while budget > 0 and (
@@ -705,9 +704,6 @@ def louvain(
             qedges = und.groupBy(
                 F.col("src").alias("ca"), F.col("dst").alias("cb")
             ).agg(F.count("*").alias("w")).localCheckpoint()
-            qdeg = qedges.groupBy(F.col("ca").alias("community")).agg(
-                F.sum("w").alias("deg_c")
-            ).localCheckpoint()
         # quotient-graph inter-community edge weights; each undirected
         # edge contributed its two symmetric rows, so e_ab is already
         # counted once per direction. Self rows (intra weight) are
@@ -716,7 +712,13 @@ def louvain(
         inter = qedges.where(F.col("ca") != F.col("cb")).select(
             "ca", "cb", F.col("w").alias("e_ab")
         )
-        deg_c = qdeg
+        # community degree derived lazily from the checkpointed
+        # quotient (a self row's w carries BOTH directions of its
+        # intra edges, so the plain row-sum per ca is exactly deg_c) —
+        # no carried frame, no extra checkpoint job per round
+        deg_c = qedges.groupBy(F.col("ca").alias("community")).agg(
+            F.sum("w").alias("deg_c")
+        )
         pairs = (
             inter.join(deg_c.withColumnRenamed("community", "ca")
                        .withColumnRenamed("deg_c", "da"), "ca")
@@ -786,25 +788,15 @@ def louvain(
                 F.coalesce(F.col("kb"), F.col("cb")).alias("cb"),
             )
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            # lazy: the n_comm aggregate below materializes it in the
+            # same scheduling round (the merges.isEmpty pattern), so
+            # the carry costs no standalone checkpoint job; lineage
+            # stays flat because both inputs are checkpointed
+            .localCheckpoint(eager=False)
         )
-        qdeg = (
-            qdeg.join(
-                merges.withColumnRenamed("merge", "community"),
-                "community",
-                "left",
-            )
-            .groupBy(
-                F.coalesce(F.col("keep"), F.col("community")).alias(
-                    "community"
-                )
-            )
-            .agg(F.sum("deg_c").alias("deg_c"))
-            .localCheckpoint()
-        )
-        # one row per community with ≥1 incident edge — every node has
-        # one (und is built from real edges), so this is n_comm
-        n_comm = qdeg.count()
+        # one distinct endpoint per community with ≥1 incident edge —
+        # every node has one (und is built from real edges)
+        n_comm = int(qedges.agg(F.count_distinct("ca")).first()[0])
     if budget <= 0 or n_comm > driver_max_nodes:
         return labels
     if labels is None:

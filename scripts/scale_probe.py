@@ -288,6 +288,7 @@ def main() -> None:
     # pagerank's power iteration and the multi-source Brandes BFS.
     from grafeo_memory_spark.graph.algorithms import (
         betweenness_centrality,
+        louvain,
         pagerank,
     )
 
@@ -333,6 +334,11 @@ def main() -> None:
             e, max_iter=8, tol=0.0, driver_edge_threshold=0
         ),
         "betweenness": _betweenness,
+        # r11: the forced phase-1 coarsening loop (quotient carried
+        # across merge rounds) + driver finish
+        "louvain_coarsen": lambda e: louvain(
+            e, max_iter=10, min_distributed_rounds=2
+        ),
     }
 
     small = replicate(1)
