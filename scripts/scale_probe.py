@@ -292,14 +292,19 @@ def main() -> None:
         pagerank,
     )
 
-    # 16 base source ids, re-selected inside each replica via the
-    # replica offset (src % 100_000_000 recovers the base id): the N×
-    # run BFSes 16 sources per replica, so sampled-Brandes work scales
-    # WITH the data — the honest at-scale reading of a fixed sampling
-    # rate — instead of pinning 16 sources into replica 0 only.
+    # 8 base source ids, re-selected inside each replica via the
+    # replica offset (src % 100_000_000 recovers the base-id RESIDUE):
+    # the N× run BFSes 8 sources per replica, so sampled-Brandes work
+    # scales WITH the data — the honest at-scale reading of a fixed
+    # sampling rate — instead of pinning all sources into replica 0.
+    # The cut is computed in the SAME residue space as the filter:
+    # fixture node ids start at exactly 100_000_000, so an absolute-id
+    # cut would pass every row (caught when the first N=8 run OOMed on
+    # a 26k-source all-pairs-ish Brandes).
     _src_cut = int(
-        edge_base.select("src").distinct().orderBy("src").limit(16)
-        .agg(F.max("src")).collect()[0][0]
+        edge_base.select((F.col("src") % 100_000_000).alias("b"))
+        .distinct().orderBy("b").limit(8)
+        .agg(F.max("b")).collect()[0][0]
     )
 
     def _betweenness(e):
@@ -357,12 +362,26 @@ def main() -> None:
         + [(name, fn, emb_small, emb_large) for name, fn in emb_ops.items()]
     )
 
+    import gc
+
+    def _reclaim():
+        """Drop the previous op's localCheckpoint RDD blocks before
+        timing the next one: the loops checkpoint every round and the
+        blocks are only freed when the ContextCleaner sees the Python
+        refs die — without this, a heavy op poisons every later row's
+        timing with inherited storage-memory pressure (observed: a
+        235 s betweenness run inflating a later semdedup 1x read 6x)."""
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     out: dict[str, dict] = {}
     for name, fn, small, large in inputs:
+        _reclaim()
         _execute(fn(small))  # warm-up run
         t0 = time.perf_counter()
         _execute(fn(small))
         t1 = time.perf_counter() - t0
+        _reclaim()
         t0 = time.perf_counter()
         _execute(fn(large))
         tn = time.perf_counter() - t0
