@@ -4,16 +4,19 @@ phase-1 coarsening path (min_distributed_rounds=N) at sf0.1 — the
 carry only changes the coarsening loop, so the forced path is where
 the delta lives (the default path collects straight to the driver).
 
-Run under two PYTHONPATHs (old HEAD^ worktree vs new HEAD) from the
-same driver process is impossible, so this script times ONE tree;
-interleave by alternating invocations:
+Timing two trees (an old-commit worktree vs HEAD) in one driver
+process is impossible, so this script times ONE tree per invocation;
+interleave by alternating AB_TREE:
 
+    git worktree add /tmp/ab_old <old-commit>
     for i in 1 2 3; do
-      PYTHONPATH=/tmp/r11_old python scripts/louvain_ab.py 2
+      AB_TREE=/tmp/ab_old python scripts/louvain_ab.py 2
       python scripts/louvain_ab.py 2
     done
+    git worktree remove /tmp/ab_old
 
-Prints one JSON line {"rounds": N, "secs": [...]} with `reps`
+AB_REPL=N replicates the edges as disjoint copies. Prints one JSON
+line {"tree": ..., "rounds": N, "secs": [...]} with AB_REPS
 measurements after one warm-up.
 """
 from __future__ import annotations
