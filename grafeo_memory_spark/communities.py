@@ -295,13 +295,14 @@ def connected_components(
     quotient pulls elsewhere. Above the threshold (or with the gate
     disabled via ``driver_edge_threshold=0``) the distributed loop
     below runs unchanged — that is the 100-TB path, and the two paths
-    agree bit-for-bit. The gate (r10, same two-tier shape as the
-    graph-algorithm `_driver_gate`): a ``limit(threshold+1).count()``
-    probe rejects over-threshold pair sets for the price of one count —
-    no rows ship on the at-scale path — and the collect that follows is
-    itself ``limit``-bounded and length-re-checked, so the driver can
-    never receive more than ``threshold + 1`` rows even from a
-    nondeterministic or growing source (ADVICE r9).
+    agree bit-for-bit. The gate IS the shared two-tier
+    :func:`~grafeo_memory_spark.graph.algorithms._driver_gate` (r12 —
+    previously an inline twin): a ``limit(threshold+1).count()`` probe
+    rejects over-threshold pair sets for the price of one count — no
+    rows ship on the at-scale path — then a ``limit``-bounded,
+    length-re-checked collect of ONLY the two key columns (ADVICE
+    r9/r10), so the driver can never receive more than ``threshold +
+    1`` narrow rows even from a nondeterministic or growing source.
 
     Scale shape: each round is a neighbor-min join + agg PLUS a
     pointer-jumping join (``component[component[x]]`` — the hash-to-min
@@ -316,19 +317,15 @@ def connected_components(
     never undershoot the component's true min id (the fixpoint the
     recursive-CTE oracle checks is unchanged).
     """
-    gated_rows = None
-    # Prune to the two key columns BEFORE the probe/collect (ADVICE
-    # r10): a caller passing a wide pair frame must not ship
-    # threshold+1 full rows to the driver — only (node_id, nbr) ever
-    # leaves the cluster, and the select lets the scan prune too.
-    key_edges = edges_sym.select("node_id", "nbr")
-    if (
-        driver_edge_threshold
-        and key_edges.limit(driver_edge_threshold + 1).count()
-        <= driver_edge_threshold
-    ):
-        gated_rows = key_edges.limit(driver_edge_threshold + 1).collect()
-    if gated_rows is not None and len(gated_rows) <= driver_edge_threshold:
+    from grafeo_memory_spark.graph.algorithms import _driver_gate
+
+    gated_rows = _driver_gate(
+        edges_sym,
+        driver_edge_threshold,
+        cols=("node_id", "nbr"),
+        as_numpy=False,
+    )
+    if gated_rows is not None:
         parent: dict = {}
 
         def find(x):

@@ -73,12 +73,23 @@ def _und_simple(edges: DataFrame, symmetrized: bool) -> DataFrame:
     return symmetrize(edges)
 
 
-def _driver_gate(edges: DataFrame, threshold: int):
-    """Bounded probe + collect for the gated driver fast paths.
+def _driver_gate(
+    edges: DataFrame,
+    threshold: int,
+    cols: tuple = ("src", "dst"),
+    as_numpy: bool = True,
+):
+    """Bounded probe + collect for every gated driver fast path — the
+    ONE place the two-tier shape lives (r12: generalized so louvain's
+    quotient collect and ``communities.connected_components`` share it
+    instead of carrying inline twins).
 
-    Returns the int64 ``(n, 2)`` array of (src, dst) when the whole
-    edge list fits under ``threshold`` rows, else ``None``. Two safety/
-    cost properties, both load-bearing:
+    Returns the collected ``cols`` projection when the frame fits under
+    ``threshold`` rows, else ``None`` — as an int64 ``(n, len(cols))``
+    array when ``as_numpy`` (the graph-algorithm CSR builders), else as
+    a list of Rows (union-find / quotient solvers that keep the
+    original value types). Two safety/cost properties, both
+    load-bearing:
 
     - The rejection path ships ONE count, not rows: at 100-TB scale the
       gate always fails, and a collect-first probe would ship
@@ -91,17 +102,28 @@ def _driver_gate(edges: DataFrame, threshold: int):
       return more rows — the limit caps what the driver can ever
       receive at ``threshold + 1``, and the length re-check falls back
       to the distributed path instead of silently driver-solving a
-      graph bigger than the gate promised."""
+      graph bigger than the gate promised.
+
+    The ``cols`` projection happens BEFORE the probe and the collect
+    (ADVICE r10): only the key columns ever leave the cluster, and the
+    select lets the scan prune on both tiers."""
     if not threshold:
         return None
-    if edges.limit(threshold + 1).count() > threshold:
+    sel = edges.select(*cols)
+    if sel.limit(threshold + 1).count() > threshold:
         return None
-    import numpy as np
+    bounded = sel.limit(threshold + 1)
+    if as_numpy:
+        import numpy as np
 
-    pdf = edges.select("src", "dst").limit(threshold + 1).toPandas()
-    if len(pdf) > threshold:
+        pdf = bounded.toPandas()
+        if len(pdf) > threshold:
+            return None
+        return pdf.to_numpy(dtype=np.int64).reshape(-1, len(cols))
+    rows = bounded.collect()
+    if len(rows) > threshold:
         return None
-    return pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
+    return rows
 
 
 def _pagerank_driver(
@@ -595,6 +617,7 @@ def louvain(
     edges: DataFrame,
     max_iter: int = 20,
     driver_max_nodes: int = 200_000,
+    driver_max_edges: int = 2_000_000,
     min_distributed_rounds: int = 0,
     symmetrized: bool = False,
 ) -> DataFrame:
@@ -615,11 +638,24 @@ def louvain(
     (each merging community at least halves the pair's count), so
     O(log n) rounds reach the collect threshold.
 
-    Phase 2 (always): collect the quotient graph — ≤ `driver_max_nodes`
-    nodes, a few MB — and run exact sequential multi-level Louvain on
-    the driver (`_louvain_local`), then broadcast the ≤200k-row
-    community map back. At 100 TB the edge list never leaves the
-    cluster — only the geometrically-coarsened quotient does.
+    Phase 2 (gated): collect the quotient graph and run exact
+    sequential multi-level Louvain on the driver (`_louvain_local`),
+    then broadcast the ≤200k-row community map back. At 100 TB the
+    edge list never leaves the cluster — only the geometrically-
+    coarsened quotient does. The collect is gated on BOTH axes (r12):
+    `driver_max_nodes` bounds the community count, and
+    `driver_max_edges` bounds the quotient ROW count via the shared
+    two-tier :func:`_driver_gate` (probe-then-bounded-collect) —
+    a 200k-community quotient over a heavy-tailed graph can carry
+    O(n²) inter-community pair rows, so node count alone does not
+    bound what ships to the driver. While the quotient is too wide,
+    phase 1 keeps coarsening (each merge round monotonically shrinks
+    quotient rows); if merging stalls (or the budget runs out) before
+    the quotient fits, the current phase-1 `labels` are returned as
+    the documented degraded result — correct communities, just without
+    the final driver refinement, and never an unbounded collect.
+    ``driver_max_edges=0`` disables the collect entirely (the
+    force-distributed knob: coarsen until stall, return `labels`).
 
     ``min_distributed_rounds`` forces that many phase-1 coarsening
     rounds even when the graph already fits the collect threshold, so
@@ -685,9 +721,28 @@ def louvain(
     qedges: DataFrame | None = None
     coarsened = False
     rounds_done = 0
-    while budget > 0 and (
-        n_comm > driver_max_nodes or rounds_done < min_distributed_rounds
-    ):
+    # the gated quotient collect (list of Rows) once it fits BOTH caps
+    qrows: list | None = None
+    while budget > 0:
+        if n_comm <= driver_max_nodes and rounds_done >= min_distributed_rounds:
+            if qedges is None:
+                # lazy checkpoint: the gate's probe count materializes
+                # the blocks immediately, so the bounded collect (and
+                # any coarsening round after a too-wide verdict) reads
+                # memoized blocks instead of re-running the aggregate
+                qedges = und.groupBy(
+                    F.col("src").alias("ca"), F.col("dst").alias("cb")
+                ).agg(F.count("*").alias("w")).localCheckpoint(eager=False)
+            # r12: node count alone does not bound the collect — gate on
+            # quotient ROW count too (shared two-tier probe+collect)
+            qrows = _driver_gate(
+                qedges, driver_max_edges, cols=("ca", "cb", "w"),
+                as_numpy=False,
+            )
+            if qrows is not None:
+                break
+            # quotient too wide for the driver: keep phase-1 coarsening
+            # (each merge round monotonically shrinks quotient rows)
         budget -= 1
         rounds_done += 1
         if labels is None:
@@ -756,6 +811,17 @@ def louvain(
             .localCheckpoint(eager=False)
         )
         if merges.isEmpty():
+            # merge stall: one last gate attempt (covers forced-rounds
+            # stalls and too-wide-but-unmergeable quotients) — if the
+            # quotient still exceeds driver_max_edges, fall through to
+            # the degraded-labels exit rather than collect unbounded
+            # (budget > 0: the driver sweeps need budget left, same as
+            # the old `budget <= 0 -> labels` exit)
+            if budget > 0 and n_comm <= driver_max_nodes:
+                qrows = _driver_gate(
+                    qedges, driver_max_edges, cols=("ca", "cb", "w"),
+                    as_numpy=False,
+                )
             break
         coarsened = True
         labels = (
@@ -797,21 +863,19 @@ def louvain(
         # one distinct endpoint per community with ≥1 incident edge —
         # every node has one (und is built from real edges)
         n_comm = int(qedges.agg(F.count_distinct("ca")).first()[0])
-    if budget <= 0 or n_comm > driver_max_nodes:
-        return labels
-    if labels is None:
-        # identity labels: the quotient IS the (deduped-undirected)
-        # edge multiset — no self-joins needed
-        quotient = und.groupBy(
-            F.col("src").alias("ca"), F.col("dst").alias("cb")
-        ).agg(F.count("*").alias("w"))
-    else:
-        # the loop already carries the coarsened quotient — collect it
-        # directly instead of re-joining the full edge list
-        quotient = qedges
-    rows = [
-        (r["ca"], r["cb"], float(r["w"])) for r in quotient.collect()
-    ]
+    if qrows is None:
+        # budget exhausted, node count still over driver_max_nodes,
+        # quotient rows still over driver_max_edges, or the gate is
+        # disabled — the documented degraded result: the phase-1 labels
+        # (identity when no coarsening round ever ran)
+        if labels is not None:
+            return labels
+        return (
+            und.select(F.col("src").alias("node_id"))
+            .distinct()
+            .withColumn("community", F.col("node_id"))
+        )
+    rows = [(r["ca"], r["cb"], float(r["w"])) for r in qrows]
     assign = _louvain_local(rows, two_m, budget)
     if not assign:
         # unreachable with a non-empty quotient; identity fallback
