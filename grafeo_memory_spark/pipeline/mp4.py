@@ -249,6 +249,16 @@ class _Repeat:
         return self.n
 
     def __getitem__(self, i) -> int:
+        # Bounds-checked (ADVICE r11): without the IndexError the
+        # legacy iteration protocol (`for s in sizes`, `sum(sizes)`)
+        # would loop forever on a crafted fixed-stsz payload, and a
+        # slice would silently return a bare int. Current consumers
+        # only use len() + guarded integer indexing, but the contract
+        # must hold for any future consumer.
+        if not isinstance(i, int):
+            raise TypeError(f"_Repeat indices must be integers, not {type(i).__name__}")
+        if not -self.n <= i < self.n:
+            raise IndexError("_Repeat index out of range")
         return self.value
 
 

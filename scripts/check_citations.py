@@ -70,7 +70,7 @@ def _range_text(lines: list[str], ranges: list[tuple[int, int]]) -> str:
     )
 
 
-def check(md_path: Path) -> list[str]:
+def check(md_path: Path, stats: dict | None = None) -> list[str]:
     failures: list[str] = []
     lines_cache: dict[Path, list[str]] = {}
 
@@ -83,7 +83,15 @@ def check(md_path: Path) -> list[str]:
         last_file: Path | None = None
         for m in _FILE_CIT.finditer(line):
             relpath, spec, _, symgroup = m.groups()
-            is_ref = "reference" in line[max(0, m.start() - 40) : m.start()]
+            # ADVICE r11: a reference-repo cite is EXACTLY the literal
+            # standalone word "reference" immediately before the
+            # backtick ("reference `file.py:A-B`") — a substring match
+            # misclassified prose like "cross-reference `foo.py:1-10`"
+            # and then silently skipped the check when the path was
+            # absent from /root/reference.
+            is_ref = bool(
+                re.search(r"(?<![\w-])reference\s*$", line[: m.start()])
+            )
             path = _resolve(relpath, is_reference=is_ref)
             where = f"{md_path.name}:{lineno} `{relpath}:{spec}`"
             if is_ref and path is None:
@@ -103,6 +111,7 @@ def check(md_path: Path) -> list[str]:
                     f"{where} — range out of bounds (file has {n} lines)"
                 )
                 continue
+            anchored = False
             if symgroup:
                 body = _range_text(file_lines(path), ranges)
                 # only the LEADING backtick run names symbols-in-range;
@@ -112,6 +121,7 @@ def check(md_path: Path) -> list[str]:
                 for sym in re.findall(r"`([^`]+)`", lead.group(0) if lead else ""):
                     if not _IDENT.match(sym):
                         continue  # prose fragment, not a symbol
+                    anchored = True
                     missing = [
                         part
                         for part in sym.split(".")
@@ -122,6 +132,25 @@ def check(md_path: Path) -> list[str]:
                             f"{where} — symbol `{sym}` not inside the "
                             f"cited range (missing: {missing})"
                         )
+            if is_ref:
+                # reference-repo cites are parity pointers; their drift
+                # is impossible (the tree is read-only) so no anchor is
+                # required
+                continue
+            if stats is not None:
+                stats["citations"] = stats.get("citations", 0) + 1
+                if anchored:
+                    stats["anchored"] = stats.get("anchored", 0) + 1
+            if not anchored:
+                # r12 (VERDICT r11 next-round #5): bounds-only citations
+                # pass the range check but cannot see drift — a block
+                # shift that stays inside the file is invisible. Every
+                # repo citation must carry at least one (`symbol`)
+                # anchor so drift becomes a symbol-miss failure.
+                failures.append(
+                    f"{where} — bounds-only citation (no symbol anchor; "
+                    f"drift would be invisible)"
+                )
         for m in _SYM_CIT.finditer(line):
             sym, a, b = m.group(1), int(m.group(2)), int(m.group(3))
             if last_file is None:
@@ -143,9 +172,14 @@ def check(md_path: Path) -> list[str]:
 
 
 def main() -> int:
-    failures = check(REPO / "COVERAGE.md")
+    stats: dict = {}
+    failures = check(REPO / "COVERAGE.md", stats=stats)
     for f in failures:
         print(f"STALE  {f}")
+    print(
+        f"SYMBOLS: {stats.get('anchored', 0)}/{stats.get('citations', 0)} "
+        f"repo citations symbol-anchored"
+    )
     print(f"CITATIONS: {'OK' if not failures else f'{len(failures)} stale'}")
     return 1 if failures else 0
 

@@ -868,3 +868,26 @@ class TestHeaderProbe:
             "webp-vp8", 640, 480,
         )
         assert got[4]["format"] is None
+
+
+def test_repeat_sequence_protocol_is_bounded():
+    """ADVICE r11: `_Repeat.__getitem__` must bounds-check — without
+    the IndexError, legacy-protocol iteration (`for s in sizes`,
+    `sum(sizes)`, `list(sizes)`) over a fixed-stsz sizes object loops
+    forever on a crafted payload, and a slice silently returns a bare
+    int instead of a sequence."""
+    from grafeo_memory_spark.pipeline.mp4 import _Repeat
+
+    r = _Repeat(7, 3)
+    assert len(r) == 3
+    assert [r[0], r[1], r[2]] == [7, 7, 7]
+    assert [r[-1], r[-3]] == [7, 7]
+    with pytest.raises(IndexError):
+        r[3]
+    with pytest.raises(IndexError):
+        r[-4]
+    with pytest.raises(TypeError):
+        r[0:2]
+    # the bug's exact shape: iteration terminates and sums correctly
+    assert list(r) == [7, 7, 7]
+    assert sum(r) == 21
