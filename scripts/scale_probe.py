@@ -149,6 +149,31 @@ def main() -> None:
 
     ops["hybrid_bm25_rrf"] = _hybrid_bm25
 
+    # r12: the composed CorpusRecipe cascade as ONE plan (clean →
+    # quality → exact dedup → minhash fuzzy dedup → decontaminate →
+    # BPE tokenize). Every stage has a solo exponent above; this row
+    # probes stage COUPLING — checkpoint storage pressure between
+    # tiers and skew interactions — which no solo row can see. The
+    # tokenizer trains on the surviving corpus inside the call, so its
+    # word-count shuffle scales with the data like the real pipeline.
+    from grafeo_memory_spark.pipeline.corpus import (
+        CorpusRecipe,
+        build_training_corpus,
+    )
+
+    def _corpus_recipe(df):
+        out_df, _ = build_training_corpus(
+            df,
+            text_col="text",
+            id_col="doc_id",
+            benchmark=bench,
+            bench_text_col="prompt",
+            recipe=CorpusRecipe(tokenize=True, bpe_merges=200),
+        )
+        return out_df
+
+    ops["corpus_recipe_e2e"] = _corpus_recipe
+
     # embedding-based ops (r9): ivf_assign is the map-only codebook
     # argmax (fold-budget rework r9 — norm projected once per row,
     # centroid norms driver-side literals), semdedup the full
