@@ -32,6 +32,10 @@ def _execute(df) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # optional comma-separated op filter (argv[2]): re-measure specific
+    # rows solo after a transient (steal spike, warm-up pressure)
+    # without paying for the full ~25-minute sweep
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     from pyspark.sql import functions as F
 
@@ -398,6 +402,12 @@ def main() -> None:
         235 s betweenness run inflating a later semdedup 1x read 6x)."""
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+    if only is not None:
+        unknown = only - {name for name, _, _, _ in inputs}
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        inputs = [row for row in inputs if row[0] in only]
 
     out: dict[str, dict] = {}
     for name, fn, small, large in inputs:
