@@ -14,7 +14,9 @@ Reported per sink: the per-batch seconds, the median of the first and
 last thirds, their ratio (flat ≈ 1.0), and a least-squares slope in
 ms/batch. Prints one JSON line like bench.py.
 
-Run: python scripts/streaming_flatness.py [n_batches] [batch_rows]
+Run: python scripts/streaming_flatness.py [n_batches] [batch_rows] [sinks]
+(``sinks`` = optional comma-separated subset, e.g. ``simhash_sink`` —
+re-draw one sink solo after a load spike instead of re-running all 3)
 """
 
 from __future__ import annotations
@@ -48,8 +50,44 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="streaming-flatness")
-    docs = spread(load_table(spark, SF_DIR, "documents"))
+    docs = spread(load_table(spark, SF_DIR, "documents")).localCheckpoint()
     need = n_batches * batch_rows
+    n_docs = docs.count()
+    if not n_docs:
+        raise SystemExit("documents table is empty")
+    if n_docs < need:
+        # replicate with disjoint ids so a long batch sequence is
+        # possible at any sf. A suffix salt is NOT enough here: the
+        # copies must be far from each other under BOTH MinHash-Jaccard
+        # and SimHash-Hamming, or every later batch reads as a near-dup
+        # of the corpus and the pair count grows quadratically by
+        # construction (measured: simhash per-batch 27→60 s over 4
+        # batches with a 3-char suffix salt). Rotating the alphabet per
+        # replica rewrites every token, so replicas share no shingles
+        # and the only cross-batch collisions are the injected ones.
+        from functools import reduce
+
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+
+        def _rot(i: int):
+            k = i % 25 + 1 if i else 0
+            return F.translate(
+                F.col("text"),
+                alpha + alpha.upper(),
+                alpha[k:] + alpha[:k] + (alpha[k:] + alpha[:k]).upper(),
+            )
+
+        docs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    _rot(i).alias("text"),
+                    *[c for c in docs.columns if c not in ("doc_id", "text")],
+                )
+                for i in range(-(-need // n_docs))
+            ],
+        )
     ranked = (
         docs.withColumn(
             "_rn",
@@ -117,6 +155,13 @@ def main() -> None:
             survivors_path=s, state_path=st, expected_keys=need
         ),
     }
+
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        unknown = only - sinks.keys()
+        if unknown:
+            raise SystemExit(f"unknown sinks: {sorted(unknown)}")
+        sinks = {k: v for k, v in sinks.items() if k in only}
 
     out: dict[str, dict] = {}
     third = max(1, n_batches // 3)
