@@ -133,10 +133,17 @@ def range_join(
     point_bin = F.floor(F.col(point_col).cast("double") / w).cast("long")
     cond = keys + ["_bin"]
     pts = points.withColumn("_bin", point_bin)
+    iv_out = [c for c in iv_binned.columns if c not in cond]
+    # explicit projection, not just drop("_bin"): the list-form join
+    # puts the equi-keys FIRST, so with keys the inner path emitted
+    # (keys, point cols…, interval cols…) while the docstring and the
+    # left path promise (point cols…, interval cols…) — a latent
+    # column-ORDER contract break the hypothesis parity test caught in
+    # r12 (the by-name oracle compare could never see it)
     matched = (
         pts.join(iv_binned, cond, "inner")
         .where(F.col(point_col).between(F.col(lo), F.col(hi)))
-        .drop("_bin")
+        .select(*points.columns, *iv_out)
     )
     if how == "inner":
         return matched
@@ -162,7 +169,6 @@ def range_join(
     ).between(F.col("_rj_lo"), F.col("_rj_hi"))
     for k in keys:
         anti_cond = anti_cond & (pts[k] == F.col(f"_rj_k_{k}"))
-    iv_out = [c for c in iv_binned.columns if c not in cond]
     unmatched = pts.join(probe, anti_cond, "left_anti").select(
         *points.columns,
         *[
@@ -170,4 +176,4 @@ def range_join(
             for c in iv_out
         ],
     )
-    return matched.select(*points.columns, *iv_out).unionByName(unmatched)
+    return matched.unionByName(unmatched)

@@ -208,3 +208,22 @@ class TestLeftNullPassthrough:
         iv = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
         with pytest.raises(ValueError, match="reserves"):
             range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi")
+
+
+def test_inner_keyed_column_order_matches_contract(spark):
+    """r12: with equi-keys the list-form join puts the keys FIRST, so
+    the inner path used to emit (key, point cols…, interval cols…)
+    while the docstring and the left path promise point columns first
+    — caught by the hypothesis parity test's tuple compare (the
+    by-name driver oracle could never see a pure ORDER break). Both
+    paths must emit the same documented order."""
+    pdf = spark.createDataFrame([(7, "a", 5.0)], "pid int, key string, x double")
+    idf = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "key string, lo double, hi double"
+    )
+    kw = dict(point_col="x", lo_col="lo", hi_col="hi", on="key", bin_width=10.0)
+    inner = range_join(pdf, idf, **kw)
+    left = range_join(pdf, idf, how="left", **kw)
+    assert inner.columns == ["pid", "key", "x", "lo", "hi"]
+    assert left.columns == inner.columns
+    assert tuple(inner.first()) == (7, "a", 5.0, 0.0, 10.0)
