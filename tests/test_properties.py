@@ -198,7 +198,11 @@ _small_int = st.one_of(st.none(), st.integers(min_value=-3, max_value=12))
     ),
     how=st.sampled_from(["inner", "left"]),
 )
-@settings(max_examples=12, deadline=None)
+# 30 examples, not 12: the r12 inner-keyed column-order bug sat
+# under a 12-example budget for five rounds before a lucky draw hit
+# an inner match — each example is one small Spark job, so the wider
+# budget costs ~1 min of suite time for real input-family coverage
+@settings(max_examples=30, deadline=None)
 def test_range_join_matches_nested_loop(spark, pts, ivs, how):
     from grafeo_memory_spark.operators.range_join import range_join
 
@@ -250,7 +254,11 @@ def test_range_join_matches_nested_loop(spark, pts, ivs, how):
     ),
     tol=st.sampled_from([None, 0, 3]),
 )
-@settings(max_examples=12, deadline=None)
+# 30 examples, not 12: the r12 inner-keyed column-order bug sat
+# under a 12-example budget for five rounds before a lucky draw hit
+# an inner match — each example is one small Spark job, so the wider
+# budget costs ~1 min of suite time for real input-family coverage
+@settings(max_examples=30, deadline=None)
 def test_asof_join_matches_python_argmax(spark, left, right, tol):
     from grafeo_memory_spark.operators.asof import asof_join
 
