@@ -48,8 +48,17 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str) -> TextIndex:
     tokens = docs.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
     )
-    postings = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    doclen = tokens.groupBy("id").agg(F.count("*").alias("dl"))
+    # ONE tokenize pass (r12): doclen = Σ tf per doc derives from the
+    # postings aggregate instead of a second explode over the corpus
+    # (the former shape ran tokenize+explode twice — once per groupBy).
+    # The lazy checkpoint materializes postings exactly once for its two
+    # consumers (the BM25 term join and the doclen rollup) — postings IS
+    # the table a deployment persists as the text index anyway; the
+    # doclen shuffle is postings-sized (index rows), not token-sized.
+    postings = tokens.groupBy("id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
+    doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     n_docs = docs.select(F.count("*").alias("n"))
     return TextIndex(postings, doclen, n_docs)
 

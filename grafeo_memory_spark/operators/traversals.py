@@ -163,11 +163,14 @@ def expand_chain(
 
     Returns (node_id, depth) for reached nodes, depth ∈ [1, max_depth].
 
-    Each hop eagerly checkpoints the (tiny) frontier and breaks as soon
-    as it empties — a depth-10 call over a 2-hop chain runs 2 joins, not
-    10 (the same early-exit `betweenness_centrality` uses). The
-    checkpoint also keeps lineage flat, so deep chains don't build a
-    max_depth-deep join tree for the final aggregate to re-derive.
+    Each hop checkpoints the (tiny) frontier lazily and breaks as soon
+    as it empties — the ``isEmpty()`` probe materializes the checkpoint
+    blocks in the SAME job (the `betweenness_centrality` /
+    `louvain` merges.isEmpty pattern; the former eager checkpoint spent
+    a separate driver job per hop just to materialize before probing —
+    2 jobs/hop → 1, r12). The checkpoint also keeps lineage flat, so
+    deep chains don't build a max_depth-deep join tree for the final
+    aggregate to re-derive.
     """
     e = edges_of_type(edges, edge_type)
     step = (
@@ -186,7 +189,7 @@ def expand_chain(
             step.join(F.broadcast(frontier), "node_id")
             .select(F.col("next_id").alias("node_id"))
             .distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
         hop = nxt.withColumn("depth", F.lit(depth))

@@ -79,26 +79,32 @@ def contamination_matches(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
     ).select("id", shingle_hash(F.col("_g"), 0).alias("_h"))
-    hits = (
-        grams.join(F.broadcast(bench), grams["_h"] == bench["bench_h"])
+    # ONE corpus pass (r12): a broadcast LEFT join flags each gram and a
+    # single partial-aggregating groupBy counts matched and total
+    # together — the former two-query shape (hits groupBy, then a semi-
+    # join + second groupBy for totals) ran the explode + md5 gram scan
+    # over the corpus TWICE. The shuffle stays one ~16-byte row per doc
+    # per map task (partial aggregation), so counting totals for clean
+    # docs costs shuffle bytes ~|docs|, while the saved second scan is
+    # O(corpus text) — the dominant term at any scale.
+    return (
+        grams.join(
+            F.broadcast(bench), grams["_h"] == bench["bench_h"], "left"
+        )
         .groupBy("id")
-        .agg(F.count("*").alias("matched_ngrams"))
-    )
-    # total_ngrams only for contaminated docs (broadcast semi-join on the
-    # tiny hit-id set) — counting totals for the WHOLE corpus would be a
-    # full shuffle of the exploded grams for rows nobody reads.
-    totals = (
-        grams.join(F.broadcast(hits.select("id")), "id", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("total_ngrams"))
-    )
-    return hits.join(F.broadcast(totals), "id").select(
-        "id",
-        "matched_ngrams",
-        "total_ngrams",
-        (F.col("matched_ngrams") / F.col("total_ngrams")).alias(
-            "matched_fraction"
-        ),
+        .agg(
+            F.count("bench_h").alias("matched_ngrams"),
+            F.count("*").alias("total_ngrams"),
+        )
+        .where(F.col("matched_ngrams") >= 1)
+        .select(
+            "id",
+            "matched_ngrams",
+            "total_ngrams",
+            (F.col("matched_ngrams") / F.col("total_ngrams")).alias(
+                "matched_fraction"
+            ),
+        )
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "exact_dedup_ids",
     "word_shingles",
     "shingle_hash",
+    "minhash_sig_col",
     "minhash_signature",
     "lsh_bands",
     "near_dup_pairs_minhash",
@@ -115,25 +116,52 @@ def shingle_hash(shingle: Column, seed: int) -> Column:
     ).cast("long")
 
 
+def minhash_sig_col(
+    text_col: Column | str, num_perm: int = 16, n: int = 3
+) -> Column:
+    """MinHash signature as a single map-side Column expression: one
+    ``aggregate`` fold over the shingle array keeps the element-wise
+    running min of all ``num_perm`` salted hashes (``least`` skips the
+    NULL init, so the first shingle seeds each lane). The shingle array
+    appears exactly once in the expression tree, so normalization +
+    shingling run once per row regardless of CollapseProject — the same
+    single-evaluation discipline as ``simhash64``.
+
+    Yields an all-NULL signature for docs with no shingles
+    (blank/whitespace-only text); batch callers filter those rows out
+    (see :func:`minhash_signature`) to preserve the historical
+    explode+groupBy semantics where such docs produced no row."""
+
+    def hashes(s: Column) -> Column:
+        return F.array(*[shingle_hash(s, k) for k in range(num_perm)])
+
+    return F.aggregate(
+        word_shingles(text_col, n),
+        F.array_repeat(F.lit(None).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, h: F.least(a, h)),
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: min over shingle hashes for each
     of ``num_perm`` salted hash functions → (id, sig: array<long>).
 
-    One explode + one groupBy with num_perm partial-aggregating min()s.
+    MAP-ONLY (r12): the min-fold runs inside the row's codegen stage
+    (:func:`minhash_sig_col`) — no explode, no groupBy, no shuffle. The
+    former explode + ``num_perm`` partial-aggregating ``min()``s shape
+    hashed exactly as many shingles but paid a full (id, shingle-row)
+    exchange to reassemble per-doc minima that a per-row fold computes
+    for free; at corpus scale the signature pass is now embarrassingly
+    parallel. Docs with no shingles are filtered (cheap normalize-only
+    predicate — blank text ⟺ zero shingles by ``word_shingles``'s
+    contract), matching the explode formulation's no-row behavior
+    bit-for-bit.
     """
-    sh = df.select(
+    return df.where(normalize_text(text_col) != "").select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
-    aggs = [
-        F.min(shingle_hash(F.col("shingle"), k)).alias(f"_m{k}")
-        for k in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"_m{k}") for k in range(num_perm)]).alias("sig")
+        minhash_sig_col(text_col, num_perm, n).alias("sig"),
     )
 
 
@@ -630,9 +658,16 @@ def dedup_spans_global(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # fixed-width (id, pos, h) rows, materialized once (r12): the spans
+    # frame feeds BOTH the keeper election and the removal join, and
+    # without the checkpoint each consumer re-ran the text scan + line
+    # split + window hashing (4 corpus text passes in the full plan,
+    # now 3). The materialization is 3 longs per span — O(line count),
+    # never O(corpus bytes), same bounded-width rationale as the gopher
+    # kernel checkpoint.
     spans = base.select(
         "id", F.posexplode(span_hashes).alias("pos", "h")
-    )
+    ).localCheckpoint(eager=False)
     keeper = spans.groupBy("h").agg(
         F.min(F.struct("id", "pos")).alias("k")
     )

@@ -191,33 +191,41 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min over word-trigram shingle hashes per salted hash function).
     Every sketch hash-verified bit-for-bit; the LSH banding above the
     MinHash columns is pure arithmetic on these values."""
+    from grafeo_memory_spark.pipeline.dedup import (
+        minhash_sig_col,
+        normalize_text,
+    )
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sig = minhash_signature(docs, "text", "doc_id", num_perm=4, n=3)
+    # ONE map-only scan for every sketch (r12): the MinHash lanes are a
+    # per-row min-fold (`minhash_sig_col`) since the r12 explode/groupBy
+    # removal, so they compose with the 64-bit SimHash in a single
+    # select — the former (sketches ⋈ sig on doc_id) shuffle join is
+    # gone and the query is scan → project → sort. The non-blank filter
+    # reproduces the old inner join's drop of shingle-less docs.
+    #
     # simhash16 ≡ the low 16 bits of simhash64 by construction (both
     # read vote bits 0..15 of the same seed-0 md5), so the row computes
-    # the 64-bit sketch ONCE, materializes the tiny (id, fp) table, and
+    # the 64-bit sketch ONCE, materializes the tiny fixed-width row, and
     # masks — one md5+vote pass instead of two (r7). The checkpoint is
     # load-bearing: without it ProjectCollapse inlines the sketch
     # expression into BOTH output columns and the pass runs twice
     # (measured slower than the two-function version it replaced).
     # simhash16() remains for callers that only want the cheap sketch;
     # lane equality is pinned in tests.
-    sketches = (
-        docs.select("doc_id", simhash64("text").alias("simhash64"))
+    return (
+        docs.where(normalize_text("text") != "")
+        .select(
+            "doc_id",
+            simhash64("text").alias("simhash64"),
+            minhash_sig_col("text", num_perm=4, n=3).alias("_sig"),
+        )
         .localCheckpoint(eager=False)
         .select(
             "doc_id",
             F.col("simhash64").bitwiseAND(F.lit(0xFFFF)).alias("simhash"),
             "simhash64",
-        )
-    )
-    return (
-        sketches.join(
-            sig.select(
-                F.col("id").alias("doc_id"),
-                *[F.col("sig")[k].alias(f"m{k}") for k in range(4)],
-            ),
-            "doc_id",
+            *[F.col("_sig")[k].alias(f"m{k}") for k in range(4)],
         )
         .orderBy("doc_id")
     )

@@ -582,26 +582,44 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("click_value"))
     )
 
-    def variant(kind: str, tolerance) -> DataFrame:
-        out = asof_join(
-            purchases, clicks, on="user_id", ts_col="ts",
-            value_cols=["click_value"], tolerance=tolerance,
-        )
-        return out.select(
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        tol = F.lit(10 * 60 * 1_000_000_000)  # 10 min in nanos
+    else:
+        tol = F.expr("INTERVAL 10 MINUTES")
+
+    # ONE as-of join for both variants (r12): the operator documents
+    # tolerance as "exactly the unbounded ASOF result post-filtered by
+    # click_ts >= ts - tol" (both value and matched-ts nulled), so the
+    # 'tol' rows derive from the SAME joined frame with a map-side
+    # predicate instead of a second union+window shuffle of
+    # |purchases|+|clicks| rows. The lazy checkpoint makes the two
+    # branches read one materialization instead of re-running the
+    # window, and halves the query's shuffle bytes at any scale.
+    m = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        value_cols=["click_value"], tolerance=None,
+    ).localCheckpoint(eager=False)
+
+    def variant(kind: str, with_tol: bool) -> DataFrame:
+        fresh = F.col("ts_matched_asof") >= F.col("ts") - tol
+        val = F.col("click_value")
+        mts_us = ts_us("ts_matched_asof")
+        if with_tol:
+            # null-out AFTER the µs conversion: ts_us(NULL) is NULL, so
+            # this is the same value as converting the nulled match
+            val = F.when(fresh, val)
+            mts_us = F.when(fresh, mts_us)
+        return m.select(
             F.lit(kind).alias("kind"),
             "event_id",
             "user_id",
             ts_us("ts").alias("ts_us"),
             F.round("value", 4).alias("purchase_value"),
-            F.round("click_value", 4).alias("click_value"),
-            ts_us("ts_matched_asof").alias("click_ts_us"),
+            F.round(val, 4).alias("click_value"),
+            mts_us.alias("click_ts_us"),
         )
 
-    if isinstance(ev.schema["ts"].dataType, T.LongType):
-        tol = F.lit(10 * 60 * 1_000_000_000)  # 10 min in nanos
-    else:
-        tol = F.expr("INTERVAL 10 MINUTES")
-    return variant("base", None).unionByName(variant("tol", tol)).orderBy(
+    return variant("base", False).unionByName(variant("tol", True)).orderBy(
         "kind", "event_id"
     )
 
