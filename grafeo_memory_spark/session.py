@@ -36,6 +36,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size checks
+        # pass instead of always sort-merge (optimization guide §3.1/§9
+        # baseline): SHJ skips both sort passes; SMJ remains the
+        # fallback whenever the build side might not fit, and AQE skew
+        # handling still applies. Measured on the 12 join-heavy bench
+        # rows (r12 interleaved A/B): subtotal 33.5 s → 30.1 s, with
+        # graph_2hop 1.29→0.84, search_pipeline 2.48→1.83,
+        # embedding_near_dup 4.67→3.39. Env-overridable for clusters
+        # that prefer the sort-merge-always posture.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which Spark
