@@ -509,3 +509,48 @@ class TestSimhashNearDup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_maponly_matches_explode_groupby(spark):
+    """r12 optimization parity: the map-only min-fold signature
+    (`minhash_sig_col`) must reproduce the historical explode+groupBy
+    formulation bit-for-bit — same minima, same dropped blank docs."""
+    import random
+
+    from grafeo_memory_spark.pipeline.dedup import (
+        shingle_hash,
+        word_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "xy", "Zed", "q-q"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        for _ in range(60)
+    ] + ["", "   ", "\t\n", "one", "two words"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    new = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signature(df, "text", "id", num_perm=8, n=3).collect()
+    }
+    # the pre-r12 shape, replayed verbatim
+    sh = df.select(
+        F.col("id"), F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    old_rows = (
+        sh.groupBy("id")
+        .agg(
+            *[
+                F.min(shingle_hash(F.col("shingle"), k)).alias(f"m{k}")
+                for k in range(8)
+            ]
+        )
+        .collect()
+    )
+    old = {r["id"]: tuple(r[f"m{k}"] for k in range(8)) for r in old_rows}
+    assert new == old
+    # blank docs appear in neither
+    blank_ids = {i for i, t in enumerate(texts) if not t.strip()}
+    assert blank_ids.isdisjoint(new.keys())
