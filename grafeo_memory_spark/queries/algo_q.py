@@ -285,7 +285,14 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafeo_memory_spark.graph.algorithms import _undirected
 
     und = _undirected(edges).localCheckpoint()
-    labels = louvain(und, max_iter=10, symmetrized=True)
+    # the returned label frame feeds FOUR consumers (the fixture-compare
+    # collect, the conditional parquet write, the modularity audit join,
+    # and the final rollup) — checkpoint it once (r12) so the final
+    # broadcast-join of the community map replays from blocks instead of
+    # re-executing per consumer
+    labels = louvain(und, max_iter=10, symmetrized=True).localCheckpoint(
+        eager=False
+    )
     out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
     fresh = {
         (r["node_id"], r["community"]) for r in labels.collect()
