@@ -1208,6 +1208,45 @@ def _und_np(raw):
 _WEDGE_BUDGET = 250_000_000
 
 
+def _k_core_driver(spark, raw_np, k: int) -> DataFrame:
+    """Driver fast path of :func:`k_core` over a collected (rows, 2)
+    int64 edge array — the same iterative peel, vectorized: drop every
+    node under degree ``k``, recompute alive-neighbor degrees, repeat.
+    The k-core is the unique, order-independent fixpoint, so this
+    round-synchronous peel, the sequential-queue peel inside
+    :func:`k_core`, and the distributed loop all agree exactly (parity
+    pinned in tests). Rounds = peel depth. Exists so a caller that
+    already collected the graph once for several metrics
+    (`q_graph_metrics`) can peel without a second collect."""
+    import numpy as np
+    import pandas as pd
+
+    node_ids, src, dst, deg = _und_np(raw_np)
+    n = node_ids.size
+    schema = "node_id long, core_degree long"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    alive = np.ones(n, dtype=bool)
+    deg = deg.astype(np.int64)
+    while True:
+        bad = alive & (deg < k)
+        if not bad.any():
+            break
+        alive[bad] = False
+        live = alive[src] & alive[dst]
+        deg = np.bincount(src[live], minlength=n)
+    if not alive.any():
+        return spark.createDataFrame([], schema)
+    live = alive[src] & alive[dst]
+    core_deg = np.bincount(src[live], minlength=n)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"node_id": node_ids[alive], "core_degree": core_deg[alive]}
+        ),
+        schema,
+    )
+
+
 def _triangle_driver(spark, raw_np) -> "DataFrame | None":
     """Driver fast path of :func:`triangle_count` — the identical
     degree-ordered orientation, with the wedge loop vectorized per

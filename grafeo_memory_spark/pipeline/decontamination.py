@@ -17,11 +17,13 @@ Scale design — the 100 TB side never shuffles:
 - The benchmark set is eval-sized (thousands..millions of rows), so its
   distinct n-gram hashes are collected into a ``broadcast()`` side —
   typically a few MB.
-- The corpus side is a map-only explode of n-gram hashes followed by a
-  broadcast semi-join and a partial-aggregating count; ``decontaminate``
-  then keeps clean docs with a broadcast anti-join on ids. No shuffle
-  of corpus rows or corpus text at any point; the parquet scan keeps
-  its pushed filters and pruned schema.
+- The corpus side is ONE map-only pass (r12): explode the n-gram
+  hashes, broadcast LEFT join against the benchmark hashes, and count
+  total and matched grams in a single partial-aggregating groupBy — the
+  shuffle carries one partially-aggregated row per document (clean docs
+  included), never rows per gram and never corpus text.
+  ``decontaminate`` then keeps clean docs with a broadcast anti-join on
+  ids; the parquet scan keeps its pushed filters and pruned schema.
 - Joining on the 60-bit hash (not the shingle string) keeps the
   broadcast small and the probe cheap; at 13 words/gram a false
   collision needs a 2^-60 hash clash AND would only ever *remove* a

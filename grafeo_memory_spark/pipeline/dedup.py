@@ -634,11 +634,14 @@ def dedup_spans_global(
 
     Scale shape: lines and span hashes are array-built per row
     (map-side); the shuffles are the span-hash groupBy electing the
-    global first occurrence, the keyed (id, pos) anti-join of removed
-    lines, and the per-doc reassembly groupBy — all keyed, nothing
-    all-pairs. Boilerplate-heavy corpora pile rows onto hot span
-    hashes, but min(struct) partial-aggregates map-side, so skew costs
-    one hot reducer, not a pair blowup.
+    global first occurrence, the removed-span join + distinct, and the
+    removed-positions per-doc rollup — all keyed by fixed-width span
+    rows, nothing all-pairs and nothing per corpus line (r13: the
+    reassembly is a map-side array filter over the final document
+    scan, not a posexplode + groupBy of every line). Boilerplate-heavy
+    corpora pile rows onto hot span hashes, but min(struct)
+    partial-aggregates map-side, so skew costs one hot reducer, not a
+    pair blowup.
     """
     import re as _re
 
@@ -646,9 +649,6 @@ def dedup_spans_global(
         F.split(F.col(text_col), _re.escape(sep)), lambda x: F.trim(x) != ""
     )
     base = df.select(F.col(id_col).alias("id"), lines.alias("lines"))
-    units = base.select(
-        "id", F.posexplode("lines").alias("pos", "unit")
-    )
     span_hashes = F.when(
         F.size("lines") >= span,
         F.transform(
@@ -661,10 +661,10 @@ def dedup_spans_global(
     # fixed-width (id, pos, h) rows, materialized once (r12): the spans
     # frame feeds BOTH the keeper election and the removal join, and
     # without the checkpoint each consumer re-ran the text scan + line
-    # split + window hashing (4 corpus text passes in the full plan,
-    # now 3). The materialization is 3 longs per span — O(line count),
-    # never O(corpus bytes), same bounded-width rationale as the gopher
-    # kernel checkpoint.
+    # split + window hashing (4 corpus text passes before r12, 2 now:
+    # this materialization plus the final df scan). The materialization
+    # is 3 longs per span — O(line count), never O(corpus bytes), same
+    # bounded-width rationale as the gopher kernel checkpoint.
     spans = base.select(
         "id", F.posexplode(span_hashes).alias("pos", "h")
     ).localCheckpoint(eager=False)
@@ -687,22 +687,41 @@ def dedup_spans_global(
         )
         .distinct()
     )
-    rebuilt = (
-        units.join(removed, ["id", "pos"], "left_anti")
-        .groupBy("id")
-        .agg(
+    # Reassembly is map-side over the final df scan (r13): fold the
+    # removed (id, pos) rows to one array per AFFECTED doc — rows and
+    # width both bounded by the duplicated-span volume, not the corpus
+    # — left-join it onto df, and rebuild each document by filtering
+    # its own lines array on position. Equivalence with the old
+    # posexplode → anti-join → collect_list groupBy: both produce the
+    # surviving lines of the SAME normalized lines array (blanks
+    # dropped) in ascending position order — here via an
+    # order-preserving array filter, there via array_sort on (pos,
+    # unit) structs — and docs with no removed lines rebuild to
+    # concat_ws(sep, lines) on both paths (the anti-join kept every
+    # unit; the filter drops none). This removes the per-LINE corpus
+    # passes outright (guide §2.4): the units posexplode (text pass 3
+    # of 3), its (id, pos)-keyed anti-join shuffle, and the per-line
+    # rebuild groupBy are gone; what remains keyed by doc id is only
+    # the removed-positions rollup and the final 1:1 join.
+    removed_pos = removed.groupBy("id").agg(
+        F.collect_list("pos").alias("_rm")
+    )
+    out = (
+        df.join(removed_pos.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn(
+            text_col,
             F.concat_ws(
                 sep,
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                    lambda s: s["unit"],
+                F.filter(
+                    lines,
+                    lambda x, i: F.when(
+                        F.col("_rm").isNull(), F.lit(True)
+                    ).otherwise(~F.array_contains(F.col("_rm"), i)),
                 ),
-            ).alias("_txt")
+            ),
         )
+        .drop("_rm")
     )
-    out = df.join(
-        rebuilt.withColumnRenamed("id", id_col), id_col, "left"
-    ).withColumn(text_col, F.coalesce(F.col("_txt"), F.lit(""))).drop("_txt")
     return out.select(*df.columns)
 
 

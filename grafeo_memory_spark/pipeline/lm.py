@@ -50,7 +50,14 @@ from pyspark.sql import functions as F
 
 from grafeo_memory_spark.pipeline.text_stats import _words
 
-__all__ = ["LmModel", "UNK", "lm_train", "lm_perplexity", "ccnet_buckets"]
+__all__ = [
+    "LmModel",
+    "UNK",
+    "lm_train",
+    "lm_scores",
+    "lm_perplexity",
+    "ccnet_buckets",
+]
 
 UNK = "<unk>"
 
@@ -145,29 +152,44 @@ def lm_train(
     return LmModel(vocab, contexts, bigrams, alpha, n_vocab)
 
 
-def lm_perplexity(
+def lm_scores(
     df: DataFrame,
     model: LmModel,
     text_col: str = "text",
     id_col: str = "id",
 ) -> DataFrame:
-    """Score every document: appends ``lm_nll`` (average negative
-    log-probability per bigram, natural log), ``lm_ppl``
-    (exp(lm_nll)), and ``lm_bigrams`` (bigram count). Documents with
-    fewer than two tokens get NULLs.
+    """The scoring core of :func:`lm_perplexity`: one row per input
+    row, ``(id_col, lm_nll, lm_bigrams, lm_ppl)``, NULL metrics for
+    documents with fewer than two tokens.
+
+    ``explode_outer`` keeps short documents through the aggregation
+    (they emit a single NULL-pair row that scores NULL), so the output
+    already covers EVERY document — a consumer that only needs the id
+    and the scores (the `lm_perplexity` bench query) can read this
+    frame directly instead of paying the corpus-keyed join back onto
+    ``df`` plus a second scan of the document table (optimization guide
+    §2.4: remove the shuffle outright).
 
     Plan: (id, pair)-explode → broadcast hash joins for the ``<unk>``
     map, the pruned bigram counts, and the context totals (all
     model-sized) → per-pair nll in codegen → groupBy(id) where partial
-    aggregation collapses each document to one row before the shuffle
-    → one keyed join back onto ``df``. The corpus is never shuffled at
-    token granularity.
+    aggregation collapses each document to one row before the shuffle.
+    The corpus is never shuffled at token granularity.
     """
     a, v = model.alpha, float(model.vocab_size)
     pairs = df.select(
         F.col(id_col).alias("_lm_id"),
-        F.explode(_pairs(text_col)).alias("p"),
-    ).select("_lm_id", "p.w1", "p.w2")
+        F.explode_outer(_pairs(text_col)).alias("p"),
+    ).select(
+        "_lm_id",
+        "p.w1",
+        "p.w2",
+        # pre-<unk>-mapping pair marker: _unk_mapped coalesces a NULL
+        # word to '<unk>', which would give the outer-exploded
+        # short-doc row a real score — remember which rows carried an
+        # actual bigram before the mapping destroys the NULL
+        F.col("p").isNotNull().alias("_has_pair"),
+    )
     joined = (
         _unk_mapped(pairs, model.vocab)
         .join(
@@ -182,23 +204,52 @@ def lm_perplexity(
         )
         .select(
             "_lm_id",
-            (
+            F.when(
+                F.col("_has_pair"),
                 -F.log(
                     (F.coalesce(F.col("_c_bi"), F.lit(0)).cast("double") + a)
                     / (
                         F.coalesce(F.col("_c_ctx"), F.lit(0)).cast("double")
                         + a * v
                     )
-                )
+                ),
             ).alias("nll"),
         )
     )
-    scores = joined.groupBy("_lm_id").agg(
-        F.avg("nll").alias("lm_nll"), F.count("*").alias("lm_bigrams")
+    return joined.groupBy("_lm_id").agg(
+        F.avg("nll").alias("lm_nll"),
+        # count("nll") skips the NULL marker rows; a short doc's count
+        # of 0 surfaces as NULL, matching the no-evidence contract
+        F.when(F.count("nll") > 0, F.count("nll")).alias("lm_bigrams"),
+    ).select(
+        F.col("_lm_id").alias(id_col),
+        "lm_nll",
+        "lm_bigrams",
+        F.exp("lm_nll").alias("lm_ppl"),
     )
-    scores = scores.withColumn("lm_ppl", F.exp("lm_nll"))
+
+
+def lm_perplexity(
+    df: DataFrame,
+    model: LmModel,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Score every document: appends ``lm_nll`` (average negative
+    log-probability per bigram, natural log), ``lm_ppl``
+    (exp(lm_nll)), and ``lm_bigrams`` (bigram count) to ``df``.
+    Documents with fewer than two tokens get NULLs.
+
+    Thin wrapper over :func:`lm_scores` (see there for the plan shape)
+    that joins the score frame back onto ``df`` so every passthrough
+    column survives; the join is 1:1 on ``id_col``. Consumers that
+    only need (id, scores) should read :func:`lm_scores` directly and
+    skip this join.
+    """
+    scores = lm_scores(df, model, text_col=text_col, id_col=id_col)
+    sc = scores.withColumnRenamed(id_col, "_lm_id")
     return df.join(
-        scores, df[id_col] == scores["_lm_id"], "left"
+        sc, df[id_col] == sc["_lm_id"], "left"
     ).drop("_lm_id")
 
 

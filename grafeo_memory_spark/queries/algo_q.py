@@ -286,22 +286,37 @@ def q_communities_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     und = _undirected(edges).localCheckpoint()
     # the returned label frame feeds FOUR consumers (the fixture-compare
-    # collect, the conditional parquet write, the modularity audit join,
-    # and the final rollup) — checkpoint it once (r12) so the final
+    # signature aggregate, the conditional parquet write, the modularity
+    # audit join, and the final rollup) — checkpoint it once (r12) so the final
     # broadcast-join of the community map replays from blocks instead of
     # re-executing per consumer
     labels = louvain(und, max_iter=10, symmetrized=True).localCheckpoint(
         eager=False
     )
     out_dir = os.path.join(fixtures_dir(sf_dir), "louvain_labels.parquet")
-    fresh = {
-        (r["node_id"], r["community"]) for r in labels.collect()
-    }
+
+    # staleness check via a distributed hash aggregate (r13): the old
+    # set-compare collected EVERY (node_id, community) row to the
+    # driver on every run — unbounded at scale (the label frame grows
+    # with the entity graph). (count, bit_xor(xxhash64(node_id,
+    # community))) is an order-insensitive set signature computed with
+    # one map-side partial aggregate per side; only two single-row
+    # results reach the driver. XOR never overflows (sum(xxhash64)
+    # trips ANSI long overflow) and cancellation needs duplicate pairs,
+    # which (node_id, community) cannot have — one label per node. A
+    # 2^-64-ish hash collision could at worst skip a fixture rewrite,
+    # never corrupt the returned rows (the rollup below recomputes from
+    # `labels` regardless).
+    def _sig(frame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("node_id", "community")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fresh = _sig(labels)
     try:
-        stored = {
-            (r["node_id"], r["community"])
-            for r in spark.read.parquet(out_dir).collect()
-        }
+        stored = _sig(spark.read.parquet(out_dir))
     except Exception:
         stored = None
     if stored != fresh:
@@ -594,6 +609,10 @@ def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel depth of 5) with each member's in-core degree.
     """
     from grafeo_memory_spark.graph.algorithms import (
+        _adamic_adar_driver,
+        _driver_gate,
+        _k_core_driver,
+        _triangle_driver,
         adamic_adar,
         k_core,
         symmetrize,
@@ -610,19 +629,41 @@ def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint, so the first consumer materializes it and the other
     # two read warm blocks instead of re-scanning + re-shuffling.
     und = symmetrize(edges).localCheckpoint(eager=False)
-    tri = triangle_count(und, symmetrized=True).select(
+    # one gate probe + ONE collect shared by all three driver fast
+    # paths (r13; guide §5 — the driver does no repeated data work):
+    # letting each metric self-gate cost two probe count jobs plus
+    # THREE separate collects of the same edge frame, and k_core added
+    # a second (eager) checkpoint of `und` before deciding. At scale
+    # the probe rejects once (one long to the driver) and every metric
+    # runs its unchanged distributed plan; threshold=0 below skips the
+    # libraries' now-redundant internal re-probe.
+    raw = _driver_gate(und, 1_000_000)
+    tri_f = aa_f = core_f = None
+    if raw is not None:
+        tri_f = _triangle_driver(spark, raw)
+        aa_f = _adamic_adar_driver(spark, raw, 20, None)
+        core_f = _k_core_driver(spark, raw, 3)
+    if tri_f is None:  # gate rejected or wedge budget exceeded
+        tri_f = triangle_count(und, symmetrized=True, driver_edge_threshold=0)
+    if aa_f is None:
+        aa_f = adamic_adar(
+            und, top_k=20, symmetrized=True, driver_edge_threshold=0
+        )
+    if core_f is None:
+        core_f = k_core(und, 3, symmetrized=True, driver_edge_threshold=0)
+    tri = tri_f.select(
         F.lit("tri").alias("kind"),
         F.col("node_id").alias("node_a"),
         F.lit(None).cast("long").alias("node_b"),
         F.col("triangles").cast("double").alias("score"),
     )
-    aa = adamic_adar(und, top_k=20, symmetrized=True).select(
+    aa = aa_f.select(
         F.lit("aa").alias("kind"),
         "node_a",
         "node_b",
         F.round("aa_score", 6).alias("score"),
     )
-    core = k_core(und, 3, symmetrized=True).select(
+    core = core_f.select(
         F.lit("core3").alias("kind"),
         F.col("node_id").alias("node_a"),
         F.lit(None).cast("long").alias("node_b"),

@@ -23,7 +23,7 @@ from grafeo_memory_spark.pipeline.cleaning import (
     top_word_ratio,
 )
 from grafeo_memory_spark.pipeline.decontamination import contamination_matches
-from grafeo_memory_spark.pipeline.lm import ccnet_buckets, lm_perplexity, lm_train
+from grafeo_memory_spark.pipeline.lm import ccnet_buckets, lm_scores, lm_train
 from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
 from grafeo_memory_spark.pipeline.sampling import (
     length_bucket,
@@ -494,14 +494,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings (count desc then lexicographic), the `<unk>` mapping,
     smoothing arithmetic in the same operation order, and the bucket
     split — so the hash pins training AND scoring, not just the score
-    shape. Docs with <2 tokens surface with NULL scores (left join),
-    matching `lm_perplexity`'s contract."""
+    shape. Docs with <2 tokens surface with NULL scores (the oracle's
+    left join; Spark-side they survive the score aggregate via
+    explode_outer), matching `lm_perplexity`'s contract."""
     docs = load_table(spark, sf_dir, "documents")
     model = lm_train(
         docs.where(F.col("source") == "src0"),
         text_col="text", max_vocab=20, max_bigrams=200, alpha=0.1,
     )
-    scored = lm_perplexity(docs, model, text_col="text", id_col="doc_id")
+    # lm_scores (not lm_perplexity): explode_outer keeps short docs in
+    # the per-doc aggregate, so the score frame already has one row per
+    # document — the corpus-keyed join back onto `documents` and its
+    # second scan of the table are gone (r13; guide §2.4). The NULL
+    # rows for <2-token docs come out of the aggregate itself.
+    scored = lm_scores(docs, model, text_col="text", id_col="doc_id")
     bucketed = ccnet_buckets(scored, thresholds=(20.0, 35.0))
     return bucketed.select(
         "doc_id",

@@ -36,19 +36,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner pick shuffled-hash join when its size checks
-        # pass instead of always sort-merge (optimization guide §3.1/§9
-        # baseline): SHJ skips both sort passes; SMJ remains the
-        # fallback whenever the build side might not fit, and AQE skew
-        # handling still applies. Measured on the 12 join-heavy bench
-        # rows (r12 interleaved A/B): subtotal 33.5 s → 30.1 s, with
-        # graph_2hop 1.29→0.84, search_pipeline 2.48→1.83,
-        # embedding_near_dup 4.67→3.39. Env-overridable for clusters
-        # that prefer the sort-merge-always posture.
+        # sort-merge stays the static default (r13, reverting the r12
+        # global preferSortMergeJoin=false flip): the r13 interleaved
+        # 32-core A/B on the five join-heavy rows the driver flagged
+        # (lpa/cc/betweenness/pagerank_distributed + graph_metrics)
+        # read a tie — smj=true mins 4.50/2.54/8.37/4.71/2.06 vs
+        # false 4.71/2.58/9.04/4.63/2.02 — so the flip fails the
+        # "false must win" bar, and planner-chosen SHJ over
+        # checkpointed stat-less loop frames is exactly where its
+        # "build side fits" precondition cannot be checked (guide
+        # §3.1). Env-overridable for re-measurement.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
+        # The runtime-safe SHJ alternative — AQE's
+        # maxShuffledHashJoinLocalMapThreshold SMJ→SHJ conversion from
+        # measured partition sizes — was A/B'd r13 (interleaved, 14
+        # rows, 0 vs 64m) and REJECTED: sum of mins 33.09 s vs 33.47 s
+        # with the largest movers (embedding_near_dup 3.43→3.87,
+        # lm_perplexity 1.68→2.04) favoring off. Left at the Spark
+        # default (0 = off); table in OPTIMIZATION_r13.md.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which Spark

@@ -490,6 +490,44 @@ def test_k_core_paths_agree(spark):
     assert dict(fast)[1] == 3  # node 1 keeps its K4 degree
 
 
+def test_k_core_driver_helper_matches_k_core(spark):
+    # r13: q_graph_metrics collects the symmetrized edge set ONCE and
+    # hands it to _k_core_driver (vectorized round-synchronous peel)
+    # instead of letting k_core re-checkpoint + re-collect. The k-core
+    # is a unique order-independent fixpoint, so the helper must agree
+    # with both k_core paths exactly — including in-core degrees and
+    # on a graph needing multiple peel rounds.
+    import random
+
+    from grafeo_memory_spark.graph.algorithms import (
+        _driver_gate,
+        _k_core_driver,
+        k_core,
+        symmetrize,
+    )
+
+    rng = random.Random(13)
+    rows = list({
+        (rng.randrange(40), rng.randrange(40)) for _ in range(160)
+    })
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    und = symmetrize(edges)
+    raw = _driver_gate(und, 1_000_000)
+    assert raw is not None
+    for k in (1, 2, 3, 5):
+        helper = {
+            (r[0], r[1]) for r in _k_core_driver(spark, raw, k).collect()
+        }
+        fast = {(r[0], r[1]) for r in k_core(und, k, symmetrized=True).collect()}
+        slow = {
+            (r[0], r[1])
+            for r in k_core(
+                und, k, symmetrized=True, driver_edge_threshold=0
+            ).collect()
+        }
+        assert helper == fast == slow
+
+
 def test_symmetrized_fast_path_agrees(spark):
     # the shared-prep path (symmetrize once, pass symmetrized=True to
     # all three metrics — graph_metrics' one-edge-shuffle shape) must

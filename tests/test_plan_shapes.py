@@ -151,15 +151,20 @@ class TestCorpusOpPlans:
         assert "Exchange" not in plan
 
     def test_span_dedup_keyed_joins_only(self, spark):
-        """Global span dedup is keyed shuffles end to end: first-
-        occurrence election and the removed-position anti-join, never a
-        pair blowup."""
+        """Global span dedup is keyed shuffles end to end, never a pair
+        blowup — and since r13 the reassembly is map-side: removed
+        positions fold to one array per affected doc and LEFT-join 1:1
+        onto the corpus, each doc rebuilding via an array filter. The
+        per-LINE posexplode + anti-join + collect_list groupBy must not
+        come back."""
         from grafeo_memory_spark.pipeline.dedup import dedup_spans_global
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         plan = _plan(dedup_spans_global(docs, "text", "doc_id"))
         assert "CartesianProduct" not in plan
-        assert "LeftAnti" in plan
+        assert "LeftAnti" not in plan  # per-line anti-join removed in r13
+        assert plan.count("LeftOuter") == 1  # the 1:1 removed-pos join
+        assert "array_contains" in plan  # map-side rebuild filter
 
 
 class TestFuzzyDedup:
