@@ -17,49 +17,42 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # Smoke tier (r13): the default `pytest tests/` run must finish inside
 # an external ~5-6 minute CI window (the full suite is 60-90 min and
-# was timing out mid-run, leaving no green/red signal at all). These
-# modules are the operator-parity, oracle-contract, citation, and
-# plan-shape tests — the ones that catch a semantics or scale-shape
-# regression; measured total ~4 min on this box. Everything not listed
-# is auto-marked `slow` below and deselected by pytest.ini's addopts;
-# run the full suite with `-m "slow or not slow"`.
+# was timing out mid-run, leaving no green/red signal at all). The
+# first cut (24 modules, ~4 min measured on the r13 build box) blew
+# the window the moment the round moved to a slower host: the same
+# selection measured 12-14 min there (fresh VM, 8-11% steal, several
+# tests 10-40x their recorded durations). This tier is therefore sized
+# for a DEGRADED box, not a clean one: the modules below measure
+# ~2.5 min on the slow host, leaving half the window as stall margin.
+# Membership favors signal per second — the oracle-contract rows, the
+# citation checks, and the parity/plan-shape tests that pin the r12 and
+# r13 optimization rewrites (minhash map-only, span-dedup map-side
+# rebuild, lm explode_outer scores, k-core driver peel). Everything not
+# listed is auto-marked `slow` below and deselected by pytest.ini's
+# addopts; run the full suite with `-m "slow or not slow"`.
 SMOKE_FILES = {
-    "test_asof_sessionize.py",
-    "test_chunking.py",
     "test_citations.py",
-    "test_cleaning.py",
-    "test_config_validation.py",
     "test_decontamination.py",
-    "test_filters.py",
-    "test_jpeg.py",
-    "test_layout.py",
     "test_lm.py",
-    "test_messages.py",
-    "test_multimodal_codecs.py",
     "test_new_driver_rows.py",
-    "test_pipeline_ops.py",
     "test_plan_shapes.py",
-    "test_range_join.py",
     "test_schemas.py",
-    "test_scoring.py",
-    "test_scoring_values.py",
-    "test_skew.py",
     "test_span_dedup.py",
-    "test_tokenizer.py",
-    "test_traversals.py",
-    "test_vector.py",
 }
 
-# Individually slow tests inside smoke modules (each ≥ ~30 s solo —
-# they'd eat most of the window on their own).
+# Individually slow tests inside smoke modules (each ≥ ~30 s solo on
+# the slow host — they'd eat most of the window on their own; all
+# remain in the full suite).
 SLOW_TESTS = {
     "test_no_cartesian_products_anywhere",
+    "test_near_dedup_no_cartesian_and_anti_join_keep",
 }
 
 # Individual fast tests from otherwise-slow modules that pin an
 # optimization's semantics and belong in the smoke signal.
 SMOKE_TESTS = {
     "test_k_core_driver_helper_matches_k_core",
+    "test_minhash_maponly_matches_explode_groupby",
 }
 
 
