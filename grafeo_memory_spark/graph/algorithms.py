@@ -177,15 +177,18 @@ def pagerank(
     `pagerank(damping=0.85, max_iter=100, tol=1e-6)` semantics
     (`protocol.py:39-41`).
 
-    Per iteration: one shuffle for the message aggregation (groupBy dst)
-    and exactly two driver jobs — an eager ``localCheckpoint`` of the
+    Per iteration: one shuffle for the message aggregation (groupBy
+    dst). In convergence mode (``tol > 0``) each round additionally
+    runs exactly two driver jobs — an eager ``localCheckpoint`` of the
     new ranks (truncates lineage, so per-iteration cost stays constant)
-    and ONE combined aggregation that returns both the L1 convergence
-    delta and the next iteration's dangling mass (piggybacked: the
-    dangling mass of iteration ``i+1`` is a sum over the ranks just
-    produced by iteration ``i``, so it rides the delta job for free).
-    Dangling-node mass is redistributed uniformly, the standard
-    treatment.
+    and ONE combined aggregation returning both the L1 convergence
+    delta (read by the early exit) and the next round's dangling mass
+    (piggybacked for free). In fixed-iteration mode (``tol <= 0``, the
+    scale-bench shape) the loop schedules ZERO per-round driver jobs:
+    checkpoints are lazy and the dangling mass rides forward as a
+    broadcast 1-row aggregate instead of a collected scalar — same
+    arithmetic, no per-round cluster-wide barrier (r13). Dangling-node
+    mass is redistributed uniformly, the standard treatment.
 
     Edge lists at or under ``driver_edge_threshold`` rows take the
     gated driver fast path (`_pagerank_driver` — same pattern as
@@ -241,15 +244,37 @@ def pagerank(
     dangling = n_dangling / float(n)  # uniform init: each rank is 1/n
     base = (1.0 - damping) / n
 
-    # fixed-iteration mode on a dangling-free graph needs NO per-round
-    # driver job at all: delta is only read by the tol early-exit and
-    # the dangling mass stays 0.0 forever, so the combined stats
-    # aggregation below — one cluster-wide collect per iteration — is
-    # pure waste. Symmetrized graphs are always dangling-free, so this
-    # is the common case for undirected analytics at scale (r9).
-    needs_stats = tol > 0.0 or n_dangling > 0
+    # Convergence mode (tol > 0) keeps a per-round driver collect: the
+    # early exit reads the L1 delta on the driver, and the dangling
+    # mass rides the same stats row for free. Fixed-iteration mode
+    # (tol <= 0) needs NO per-round driver job at all (r13): there is
+    # no exit to decide, so the eager checkpoint + stats collect the
+    # loop used to run every round were pure driver-synchronization
+    # barriers. Instead, the dangling mass of round i — a sum over the
+    # rank rows round i just produced — rides into round i+1 as a
+    # broadcast 1-row aggregate (crossJoin), and the checkpoints go
+    # lazy, so the whole loop materializes round by round inside the
+    # single final action. The arithmetic is IDENTICAL — the same Spark
+    # sum over the same checkpointed rows, consumed as a column instead
+    # of a collected literal (measured exact-equal at sf0.1: max
+    # |delta| = 0.0 over 4705 nodes; scripts/pr_fuse_ab.py also holds
+    # the interleaved timing evidence — fused won all 6 pairs). On a
+    # dangling-free graph (symmetrized inputs — the common case for
+    # undirected analytics) the mass stays 0.0 and no crossJoin is
+    # planted (r9). At cluster scale each removed collect was a
+    # whole-cluster barrier per iteration (guide §5).
+    needs_stats = tol > 0.0
 
-    for _ in range(max_iter):
+    has_dangling_col = False
+    for it in range(max_iter):
+        dangling_expr = (
+            F.col("_dangling") / F.lit(float(n))
+            if has_dangling_col
+            else F.lit(dangling / n)
+        )
+        keep = ["node_id", "is_dangling"] + (
+            ["_dangling"] if has_dangling_col else []
+        )
         contrib = (
             links.join(
                 ranks.select(F.col("node_id").alias("src"), "pagerank"), "src"
@@ -261,29 +286,35 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # carry the old rank through the update so the stats job below
-        # is a plain aggregation — no old-vs-new self-join per iteration
+        # convergence mode carries the old rank through the update so
+        # the stats job below is a plain aggregation — no old-vs-new
+        # self-join per iteration; fixed-iteration mode has no stats
+        # job, so the column is dropped to keep the checkpoint narrow
+        out_cols = ["node_id", "is_dangling"] + (
+            ["_pr_old"] if needs_stats else []
+        )
         new_ranks = (
             ranks.select(
-                "node_id", "is_dangling", F.col("pagerank").alias("_pr_old")
+                *keep, F.col("pagerank").alias("_pr_old")
             )
             .join(contrib, "node_id", "left")
             .select(
-                "node_id",
-                "is_dangling",
+                *out_cols[:2],
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dangling_expr)
                 ).alias("pagerank"),
-                "_pr_old",
+                *out_cols[2:],
             )
-            # eager: measured FASTER than a lazy checkpoint here
-            # (sf0.1 A/B, r7: 4.3s vs 5.2s median) — the tiny stats
-            # collect that follows reads warm blocks instead of
-            # folding materialization into its own two-stage agg
-            .localCheckpoint()
+            # convergence mode stays eager: measured FASTER than lazy
+            # when a stats collect follows (sf0.1 A/B, r7: 4.3s vs 5.2s
+            # median) — the collect reads warm blocks. Fixed-iteration
+            # mode goes lazy: nothing reads the blocks until the final
+            # action, which materializes each round's checkpoint once.
+            .localCheckpoint(eager=needs_stats)
         )
+        ranks = new_ranks.select("node_id", "is_dangling", "pagerank")
         if needs_stats:
             delta, dangling = (
                 new_ranks.agg(
@@ -295,11 +326,17 @@ def pagerank(
                 )
                 .collect()[0]
             )
-        else:
-            delta = None
-        ranks = new_ranks.select("node_id", "is_dangling", "pagerank")
-        if delta is not None and delta < tol:
-            break
+            if delta < tol:
+                break
+        elif n_dangling > 0 and it + 1 < max_iter:
+            dang_df = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("pagerank"))),
+                    F.lit(0.0),
+                ).alias("_dangling")
+            )
+            ranks = ranks.crossJoin(F.broadcast(dang_df))
+            has_dangling_col = True
     return ranks.select("node_id", "pagerank")
 
 

@@ -212,6 +212,27 @@ def test_pagerank_driver_matches_distributed(spark):
     for k in fast:
         assert fast[k] == pytest.approx(slow[k], abs=1e-9), k
 
+    # fixed-iteration mode WITH dangling nodes (the scale-bench shape,
+    # r13): the distributed loop carries the dangling mass forward as a
+    # broadcast 1-row aggregate instead of a per-round collected scalar
+    # — same arithmetic, zero per-round driver jobs; must still match
+    # the numpy path
+    dang = [(i, (i + 1) % 8) for i in range(7)] + [(2, 9), (5, 9), (0, 8)]
+    edges = _edges(spark, dang)  # nodes 8 and 9 have no out-edges
+    fast = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(edges, max_iter=12, tol=0.0).collect()
+    }
+    slow = {
+        r["node_id"]: r["pagerank"]
+        for r in pagerank(
+            edges, max_iter=12, tol=0.0, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert fast[k] == pytest.approx(slow[k], abs=1e-9), k
+
 
 def test_lpa_driver_matches_distributed(spark):
     """The gated numpy LPA fast path (r9) is deterministic integer
