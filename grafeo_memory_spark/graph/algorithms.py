@@ -26,6 +26,9 @@ Substitutions vs the reference engine (documented, SURVEY §7 risk 3):
 
 from __future__ import annotations
 
+import os
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1085,13 +1088,13 @@ def betweenness_centrality(
     frontier = src_df.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("depth"), F.lit(1.0).alias("sigma")
     )
-    visited = frontier.localCheckpoint()
-    levels = [visited]
+    levels = [frontier.localCheckpoint()]
+    _seen_all = os.environ.get("SPARK_GRAFT_BFS_SEEN_ALL") == "1"
     for depth in range(1, max_depth + 1):
         # ONE exchange per level (r10): the sigma aggregation and the
         # visited anti-join both key on (s, v), so instead of a groupBy
         # followed by a left join (two hash-partitionings of (s, v)
-        # data per level, r7 shape) the visited set rides the SAME
+        # data per level, r7 shape) the seen set rides the SAME
         # aggregation as a null-sigma sentinel row — sum(sigma) ignores
         # it, max(_seen) marks the node as already reached, and the
         # filter keeps exactly the anti-join's survivors. On a
@@ -1099,6 +1102,26 @@ def betweenness_centrality(
         # barrier count of the hot loop; the und expansion join stays
         # declarative (AQE broadcasts the small side at bench scale,
         # shuffle-joins at 100 TB).
+        #
+        # The sentinel set is the LAST TWO levels, not the whole
+        # visited table (r13): `und` holds both directions of every
+        # edge, so a neighbor of a depth-(d-1) frontier node has BFS
+        # depth in {d-2, d-1, d} — if it had depth k < d-2, its
+        # neighbor's depth would be at most k+1 < d-1, contradicting
+        # the frontier node's depth. Excluding levels d-1 and d-2
+        # therefore discards exactly the rows the full visited set
+        # would. This caps the per-level sentinel shuffle at two
+        # frontier widths instead of the whole reached set (which
+        # grows as levels × |reached| over the loop) — the asymptotic
+        # difference at 100 TB, and the env escape
+        # (SPARK_GRAFT_BFS_SEEN_ALL=1) restores the full-union shape
+        # for A/B or forensics.
+        if len(levels) == 1:
+            seen = levels[0]
+        elif _seen_all:
+            seen = reduce(DataFrame.unionByName, levels)
+        else:
+            seen = levels[-1].unionByName(levels[-2])
         expanded = frontier.join(und.withColumnRenamed("src", "v"), "v").select(
             "s",
             F.col("dst").alias("v"),
@@ -1107,7 +1130,7 @@ def betweenness_centrality(
         )
         nxt = (
             expanded.unionByName(
-                visited.select(
+                seen.select(
                     "s",
                     "v",
                     F.lit(None).cast("double").alias("sigma"),
@@ -1127,9 +1150,6 @@ def betweenness_centrality(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        # union of already-checkpointed level frames — lineage is flat
-        # without re-materializing the whole visited set every level
-        visited = visited.unionByName(nxt)
         frontier = nxt
 
     # backward accumulation by descending depth:
