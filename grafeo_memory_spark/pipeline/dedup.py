@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -431,6 +433,19 @@ def simhash_near_dup(
     bounded = banded.join(
         sizes.where(F.col("_bs") <= max_bucket_size), ["band", "val"]
     )
+    # Materialize the guarded band table once (r13): `bounded` feeds
+    # BOTH self-join sides, so without this checkpoint each side
+    # re-derives it — the bucket-size aggregation (an Exchange over
+    # n×bands rows) and the guard join execute TWICE per run, visible
+    # as two identical HashAggregate+Exchange subtrees in the r12 plan.
+    # Rows are fixed-width (band, val, id, fp — four longs), the same
+    # bounded-footprint argument as the fp checkpoint above; eager so
+    # concurrent consumer stages can't race to compute the same
+    # partition (the diamond-feed pattern of semdedup's assignment
+    # checkpoint). SPARK_GRAFT_NEARDUP_NO_CKPT=1 restores the
+    # re-derive shape for A/B or forensics.
+    if os.environ.get("SPARK_GRAFT_NEARDUP_NO_CKPT") != "1":
+        bounded = bounded.localCheckpoint(eager=True)
     a = bounded.select(
         "band", "val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
     )

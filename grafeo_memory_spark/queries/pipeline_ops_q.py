@@ -6,6 +6,8 @@ signatures and pair sets bit-for-bit, not just row counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -336,6 +338,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplane_signature("embedding", PLANES).alias("bucket"),
         l2_norm("embedding").alias("v_norm"),
     )
+    # Materialize the signature table once (r13, the same move as
+    # semdedup's assignment checkpoint): `sig` feeds BOTH bucket
+    # self-join sides, so without this the embeddings parquet is
+    # scanned twice and the 8-plane signature + norm folds are
+    # evaluated twice per run (r12 plan: two parquet scans each under
+    # their own spread Exchange). Eager, like semdedup's `scored`, so
+    # the two consumer stages read cached blocks instead of racing to
+    # compute the same partitions. SPARK_GRAFT_NEARDUP_NO_CKPT=1
+    # restores the two-scan shape for A/B or forensics.
+    if os.environ.get("SPARK_GRAFT_NEARDUP_NO_CKPT") != "1":
+        sig = sig.localCheckpoint(eager=True)
     a = sig.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("e_a"),
