@@ -465,9 +465,16 @@ def label_propagation(
         # most-frequent-label, ties-to-smallest semantics the oracle
         # pins). Checkpoint every round: new_labels feeds both the
         # changed-count job and the next iteration, and truncated
-        # lineage keeps per-iteration cost constant (eager: measured
-        # faster than lazy here, same A/B as the pagerank loop — the
-        # changed-count job stays a cached read).
+        # lineage keeps per-iteration cost constant. Eager by default:
+        # the r7 A/B chose it, and the r13 re-measurement under the
+        # post-r10 sentinel loop read a TIE (three interleaved sweeps,
+        # scripts/lpa_ckpt_ab.py: lazy 5/6 then 4/6 paired wins with a
+        # worse median, 8-core split 2/2 — the eager second job is a
+        # cached read, so folding it into the changed-count action
+        # moves nothing measurable). SPARK_GRAFT_LPA_LAZY_CKPT=1 keeps
+        # the one-action-per-round CC-loop shape reachable for
+        # re-measurement.
+        _lazy = os.environ.get("SPARK_GRAFT_LPA_LAZY_CKPT") == "1"
         new_labels = (
             votes.groupBy("node_id")
             .agg(
@@ -486,7 +493,7 @@ def label_propagation(
                 F.col("_best.community").alias("community"),
                 "_c_old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=not _lazy)
         )
         changed = (
             new_labels.where(F.col("community") != F.col("_c_old")).count()
